@@ -1,0 +1,166 @@
+"""Batched, class-aware, fixed-shape NMS — the TPU replacement for
+``torchvision.ops.batched_nms`` (reference ``utils/detection_utils.py:329``,
+``pp_yolo_e/post_prediction_callback.py:85``).
+
+Design (SURVEY §7 "NMS on TPU"): everything is static-shape and batched —
+``[B, N, C]`` score maps go through top-k prefilter → class-offset trick →
+suppression → fixed ``max_predictions`` outputs with a validity count. Three
+suppression modes:
+
+- ``exact``  — sequential greedy NMS (torchvision-equivalent) via ``lax.fori_loop``;
+  bit-parity for mAP evaluation.
+- ``fast``   — YOLACT-style parallel NMS: one triangular-max matrix op; a box is
+  suppressed if ANY higher-scored box overlaps it (no reactivation). ~0.1 mAP lower,
+  wholly parallel → default for latency-critical ``predict``.
+- ``matrix`` — Matrix-NMS (SoloV2) score decay; fully parallel, differentiable-ish.
+
+No per-image Python loop anywhere: batching via ``vmap``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from super_gradients_tpu.ops.bbox import box_iou
+
+_CLASS_OFFSET = 8192.0  # > any image dimension we support; separates classes spatially
+
+
+class NMSOutput(NamedTuple):
+    """Fixed-shape detection output (analogue of the reference's BATCHED format
+    ``[B, max_predictions, 6]``, ``conversion/onnx/nms.py``)."""
+
+    boxes: jnp.ndarray  # [B, max_predictions, 4] xyxy
+    scores: jnp.ndarray  # [B, max_predictions]
+    labels: jnp.ndarray  # [B, max_predictions] int32
+    num_detections: jnp.ndarray  # [B] int32
+
+
+def _exact_keep_mask(iou: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float) -> jnp.ndarray:
+    """Greedy sequential NMS on score-sorted boxes. iou: [K,K], valid: [K] bool."""
+    k = iou.shape[0]
+    over = (iou > iou_threshold) & valid[None, :] & valid[:, None]
+    idx = jnp.arange(k)
+
+    def body(i, keep):
+        # suppressed iff any kept j < i overlaps i
+        row = over[i]
+        suppressed = jnp.any(row & keep & (idx < i))
+        return keep.at[i].set(valid[i] & ~suppressed)
+
+    keep0 = jnp.zeros((k,), dtype=bool).at[0].set(valid[0])
+    return jax.lax.fori_loop(1, k, body, keep0)
+
+
+def _fast_keep_mask(iou: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float) -> jnp.ndarray:
+    """YOLACT fast-NMS: keep i unless some higher-ranked j overlaps it."""
+    k = iou.shape[0]
+    idx = jnp.arange(k)
+    upper = idx[:, None] < idx[None, :]  # j ranked higher than i at [j, i]
+    over = (iou > iou_threshold) & valid[None, :] & valid[:, None]
+    suppressed = jnp.any(over & upper, axis=0)
+    return valid & ~suppressed
+
+
+def _matrix_nms_decay(iou: jnp.ndarray, valid: jnp.ndarray, sigma: float = 0.5) -> jnp.ndarray:
+    """Matrix-NMS (SoloV2) gaussian decay factors for score-sorted boxes."""
+    k = iou.shape[0]
+    idx = jnp.arange(k)
+    upper = (idx[:, None] < idx[None, :]) & valid[None, :] & valid[:, None]
+    ious = jnp.where(upper, iou, 0.0)  # [j, i]: iou of i with higher-ranked j
+    ious_cmax = jnp.max(ious, axis=0)  # most-overlapped compensation per j
+    decay = jnp.exp(-(ious**2 - ious_cmax[:, None] ** 2) / sigma)
+    decay = jnp.where(upper, decay, 1.0)
+    return jnp.min(decay, axis=0)
+
+
+def _single_image_nms(
+    boxes: jnp.ndarray,  # [N, 4]
+    scores: jnp.ndarray,  # [N, C]
+    score_threshold: float,
+    iou_threshold: float,
+    nms_top_k: int,
+    max_predictions: int,
+    multi_label: bool,
+    class_agnostic: bool,
+    mode: str,
+) -> NMSOutput:
+    n, c = scores.shape
+    if multi_label:
+        flat = scores.reshape(-1)  # [N*C]
+        k = min(nms_top_k, flat.shape[0])
+        top_scores, top_idx = jax.lax.top_k(flat, k)
+        anchor_idx = top_idx // c
+        cls_idx = top_idx % c
+    else:
+        cls_idx_all = jnp.argmax(scores, axis=-1)
+        best = jnp.max(scores, axis=-1)
+        k = min(nms_top_k, n)
+        top_scores, anchor_idx = jax.lax.top_k(best, k)
+        cls_idx = cls_idx_all[anchor_idx]
+
+    cand_boxes = boxes[anchor_idx]  # [K, 4]
+    valid = top_scores > score_threshold
+
+    if class_agnostic:
+        nms_boxes = cand_boxes
+    else:
+        nms_boxes = cand_boxes + (cls_idx.astype(cand_boxes.dtype) * _CLASS_OFFSET)[:, None]
+
+    iou = box_iou(nms_boxes, nms_boxes)
+
+    if mode == "exact":
+        keep = _exact_keep_mask(iou, valid, iou_threshold)
+        final_scores = jnp.where(keep, top_scores, -1.0)
+    elif mode == "fast":
+        keep = _fast_keep_mask(iou, valid, iou_threshold)
+        final_scores = jnp.where(keep, top_scores, -1.0)
+    elif mode == "matrix":
+        decay = _matrix_nms_decay(iou, valid)
+        decayed = top_scores * decay
+        keep = valid & (decayed > score_threshold)
+        final_scores = jnp.where(keep, decayed, -1.0)
+    else:
+        raise ValueError(f"Unknown NMS mode `{mode}` (exact|fast|matrix)")
+
+    m = min(max_predictions, final_scores.shape[0])
+    out_scores, out_idx = jax.lax.top_k(final_scores, m)
+    out_boxes = cand_boxes[out_idx]
+    out_labels = cls_idx[out_idx].astype(jnp.int32)
+    valid_out = out_scores > 0
+    out_scores = jnp.where(valid_out, out_scores, 0.0)
+    out_boxes = jnp.where(valid_out[:, None], out_boxes, 0.0)
+    out_labels = jnp.where(valid_out, out_labels, -1)
+    num = jnp.sum(valid_out.astype(jnp.int32))
+    if m < max_predictions:  # pad to the requested static size
+        pad = max_predictions - m
+        out_boxes = jnp.pad(out_boxes, ((0, pad), (0, 0)))
+        out_scores = jnp.pad(out_scores, (0, pad))
+        out_labels = jnp.pad(out_labels, (0, pad), constant_values=-1)
+    return NMSOutput(out_boxes, out_scores, out_labels, num)
+
+
+def batched_nms(
+    boxes: jnp.ndarray,  # [B, N, 4] xyxy
+    scores: jnp.ndarray,  # [B, N, C] (post-sigmoid)
+    score_threshold: float = 0.25,
+    iou_threshold: float = 0.7,
+    nms_top_k: int = 1024,
+    max_predictions: int = 300,
+    multi_label: bool = True,
+    class_agnostic: bool = False,
+    mode: str = "exact",
+) -> NMSOutput:
+    """Batched class-aware NMS with fixed output shapes.
+
+    Equivalent surface to ``PPYoloEPostPredictionCallback`` + torchvision
+    ``batched_nms`` (reference ``post_prediction_callback.py:43-110``) but with the
+    per-image Python loop replaced by ``vmap`` and static shapes throughout.
+    """
+    fn = lambda b, s: _single_image_nms(
+        b, s, score_threshold, iou_threshold, nms_top_k, max_predictions, multi_label, class_agnostic, mode
+    )
+    return jax.vmap(fn)(boxes, scores)

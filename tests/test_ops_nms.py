@@ -1,0 +1,107 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from super_gradients_tpu.ops.nms import batched_nms
+
+
+def _np_greedy_nms(boxes, scores, iou_thr):
+    """Independent numpy greedy NMS for golden comparison (torchvision semantics)."""
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        x1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        y1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        x2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        y2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        area_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        iou = inter / (area_i + areas - inter + 1e-9)
+        suppressed |= iou > iou_thr
+        suppressed[i] = False
+    return keep
+
+
+def test_exact_nms_matches_numpy_greedy():
+    rng = np.random.RandomState(0)
+    n = 60
+    centers = rng.rand(n, 2) * 80
+    wh = rng.rand(n, 2) * 30 + 5
+    boxes = np.concatenate([centers - wh / 2, centers + wh / 2], axis=1).astype(np.float32)
+    scores = rng.rand(n).astype(np.float32)
+
+    keep_ref = _np_greedy_nms(boxes, scores, 0.5)
+    ref_set = [(tuple(np.round(boxes[i], 3)), round(float(scores[i]), 5)) for i in keep_ref]
+
+    out = batched_nms(
+        jnp.asarray(boxes)[None],
+        jnp.asarray(scores)[None, :, None],  # single class
+        score_threshold=0.0,
+        iou_threshold=0.5,
+        nms_top_k=n,
+        max_predictions=n,
+        mode="exact",
+    )
+    got_n = int(out.num_detections[0])
+    assert got_n == len(keep_ref)
+    got_set = [
+        (tuple(np.round(np.asarray(out.boxes[0, i]), 3)), round(float(out.scores[0, i]), 5)) for i in range(got_n)
+    ]
+    assert sorted(got_set) == sorted(ref_set)
+
+
+def test_class_aware_keeps_overlapping_different_classes():
+    boxes = jnp.asarray([[[0.0, 0, 10, 10], [1, 1, 10, 10]]])
+    scores = jnp.zeros((1, 2, 3)).at[0, 0, 0].set(0.9).at[0, 1, 1].set(0.8)
+    out = batched_nms(boxes, scores, score_threshold=0.1, iou_threshold=0.3, nms_top_k=6, max_predictions=4)
+    assert int(out.num_detections[0]) == 2
+    labels = set(np.asarray(out.labels[0, :2]).tolist())
+    assert labels == {0, 1}
+
+
+def test_class_agnostic_suppresses_across_classes():
+    boxes = jnp.asarray([[[0.0, 0, 10, 10], [1, 1, 10, 10]]])
+    scores = jnp.zeros((1, 2, 3)).at[0, 0, 0].set(0.9).at[0, 1, 1].set(0.8)
+    out = batched_nms(
+        boxes, scores, score_threshold=0.1, iou_threshold=0.3, nms_top_k=6, max_predictions=4, class_agnostic=True
+    )
+    assert int(out.num_detections[0]) == 1
+
+
+def test_score_threshold_and_padding():
+    boxes = jnp.asarray([[[0.0, 0, 10, 10], [20, 20, 30, 30], [40, 40, 50, 50]]])
+    scores = jnp.asarray([[[0.9], [0.05], [0.5]]])
+    out = batched_nms(boxes, scores, score_threshold=0.25, iou_threshold=0.5, nms_top_k=3, max_predictions=8)
+    assert out.boxes.shape == (1, 8, 4)
+    assert int(out.num_detections[0]) == 2
+    assert np.all(np.asarray(out.scores[0, 2:]) == 0)
+    assert np.all(np.asarray(out.labels[0, 2:]) == -1)
+
+
+def test_fast_mode_no_worse_than_exact_on_disjoint():
+    rng = np.random.RandomState(3)
+    # strictly disjoint boxes: every mode must keep all of them
+    xs = np.arange(10) * 50.0
+    boxes = np.stack([xs, xs * 0, xs + 20, xs * 0 + 20], axis=1).astype(np.float32)[None]
+    scores = rng.rand(1, 10, 1).astype(np.float32) * 0.5 + 0.4
+    for mode in ["exact", "fast", "matrix"]:
+        out = batched_nms(jnp.asarray(boxes), jnp.asarray(scores), score_threshold=0.2, mode=mode,
+                          nms_top_k=10, max_predictions=10)
+        assert int(out.num_detections[0]) == 10, mode
+
+
+def test_jit_and_vmap_batched():
+    rng = np.random.RandomState(4)
+    boxes = rng.rand(4, 32, 4).astype(np.float32) * 100
+    boxes = np.concatenate([boxes[..., :2], boxes[..., :2] + np.abs(boxes[..., 2:]) + 5], -1)
+    scores = rng.rand(4, 32, 7).astype(np.float32)
+    fn = jax.jit(lambda b, s: batched_nms(b, s, nms_top_k=64, max_predictions=16))
+    out = fn(jnp.asarray(boxes), jnp.asarray(scores))
+    assert out.boxes.shape == (4, 16, 4)
+    assert out.num_detections.shape == (4,)
