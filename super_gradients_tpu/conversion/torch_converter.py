@@ -1,0 +1,211 @@
+"""PyTorch checkpoint → flax variables converter.
+
+The reference distributes ~60 pretrained ``.pth`` checkpoints
+(``training/pretrained_models.py``); this module ingests them into the TPU models.
+Layout transforms:
+
+- conv weight       OIHW → HWIO
+- grouped conv      O(I/g)HW → HW(I/g)O  (same transpose)
+- conv-transpose2x2 [in,out,kh,kw] → [kh,kw,in,out]
+- linear            [out,in] → [in,out]
+- BatchNorm         weight→scale, bias→bias, running_mean/var→batch_stats
+
+Name translation is rule-based: the flax module trees in this repo intentionally
+mirror the reference attribute names (``branch_3x3_conv`` ↔ ``branch_3x3.conv``,
+``layer1_0`` ↔ ``layer1.0``), so a small set of regex rules per model family maps
+every leaf. ``convert_state_dict`` validates shape-compatibility leaf-by-leaf and
+reports all misses at once (analogue of the reference's adaptive
+``checkpoint_utils.py:79`` loader with StrictLoad modes).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Dict, List, Mapping, Optional, Sequence, Tuple
+
+import numpy as np
+
+from super_gradients_tpu.common.logging_utils import get_logger
+
+logger = get_logger(__name__)
+
+Rules = Sequence[Tuple[str, str]]
+
+# applied to dotted flax path AFTER model-specific rules
+_GENERIC_RULES: Rules = (
+    (r"_(\d+)(?=\.|$)", r".\1"),  # bottlenecks_0 -> bottlenecks.0, layer1_0 -> layer1.0
+)
+
+_LEAF_MAP = {
+    "scale": "weight",  # BN gamma
+    "mean": "running_mean",
+    "var": "running_var",
+    "kernel": "weight",
+    "bias": "bias",
+    "alpha": "",  # path already ends with .alpha in torch (a bare Parameter)
+}
+
+
+def _translate(path: Tuple[str, ...], rules: Rules) -> str:
+    *parents, leaf = path
+    name = ".".join(parents)
+    for pat, repl in tuple(rules) + tuple(_GENERIC_RULES):
+        name = re.sub(pat, repl, name)
+    torch_leaf = _LEAF_MAP.get(leaf, leaf)
+    if leaf == "alpha":
+        return name + ".alpha" if name else "alpha"
+    return f"{name}.{torch_leaf}" if name else torch_leaf
+
+
+def _to_numpy(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    try:
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def _transform(value: np.ndarray, flax_leaf_shape: Tuple[int, ...], path: Tuple[str, ...]) -> np.ndarray:
+    leaf = path[-1]
+    parent = path[-2] if len(path) > 1 else ""
+    if leaf == "kernel":
+        if value.ndim == 4:
+            if "upsample" in parent:  # ConvTranspose2d [in,out,kh,kw] -> [kh,kw,in,out]
+                out = value.transpose(2, 3, 0, 1)
+            else:  # Conv2d OIHW -> HWIO
+                out = value.transpose(2, 3, 1, 0)
+        elif value.ndim == 2:  # Linear [out,in] -> [in,out]
+            out = value.T
+        else:
+            out = value
+    else:
+        out = value
+    if tuple(out.shape) != tuple(flax_leaf_shape):
+        raise ValueError(f"shape mismatch at {'/'.join(path)}: torch {out.shape} vs flax {flax_leaf_shape}")
+    return out
+
+
+def _flatten(tree: Mapping, prefix: Tuple[str, ...] = ()) -> Dict[Tuple[str, ...], Any]:
+    flat = {}
+    for k, v in tree.items():
+        p = prefix + (str(k),)
+        if isinstance(v, Mapping):
+            flat.update(_flatten(v, p))
+        else:
+            flat[p] = v
+    return flat
+
+
+def _unflatten(flat: Dict[Tuple[str, ...], Any]) -> Dict:
+    tree: Dict = {}
+    for path, v in flat.items():
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = v
+    return tree
+
+
+def convert_state_dict(
+    state_dict: Mapping[str, Any],
+    variables_template: Mapping,
+    rules: Rules = (),
+    strict: bool = True,
+    torch_prefix: str = "",
+) -> Dict:
+    """Convert a torch state_dict into a flax variables dict matching the template.
+
+    Args:
+        state_dict: torch ``name -> tensor`` map (or a full checkpoint dict with
+            ``net``/``ema_net`` keys — pass the inner dict).
+        variables_template: the model's initialized variables (shapes to match).
+        rules: model-specific (regex, replacement) name rules applied first.
+        strict: raise on any missing/mismatched key (StrictLoad.ON analogue);
+            ``False`` keeps template values for misses (StrictLoad.OFF).
+    """
+    sd = {k[len("module."):] if k.startswith("module.") else k: v for k, v in state_dict.items()}
+    if torch_prefix:
+        sd = {k[len(torch_prefix):]: v for k, v in sd.items() if k.startswith(torch_prefix)}
+
+    out_flat: Dict[Tuple[str, ...], Any] = {}
+    missing: List[str] = []
+    used_torch_keys = set()
+
+    for collection, tree in variables_template.items():
+        flat = _flatten(tree, (collection,))
+        for path, leaf_val in flat.items():
+            model_path = path[1:]  # drop collection name
+            torch_key = _translate(model_path, rules)
+            if torch_key in sd:
+                arr = _transform(_to_numpy(sd[torch_key]), tuple(np.shape(leaf_val)), model_path)
+                out_flat[path] = arr.astype(np.asarray(leaf_val).dtype if hasattr(leaf_val, "dtype") else np.float32)
+                used_torch_keys.add(torch_key)
+            else:
+                missing.append(f"{'/'.join(path)} (wanted torch key `{torch_key}`)")
+                out_flat[path] = leaf_val
+
+    unused = [k for k in sd if k not in used_torch_keys and not k.endswith("num_batches_tracked")]
+    if missing:
+        msg = f"{len(missing)} flax leaves had no torch counterpart, e.g.:\n  " + "\n  ".join(missing[:10])
+        if strict:
+            raise KeyError(msg + (f"\nUnused torch keys e.g.: {unused[:10]}" if unused else ""))
+        logger.warning(msg)
+    if unused:
+        logger.info(f"{len(unused)} torch keys unused, e.g. {unused[:5]}")
+
+    return _unflatten(out_flat)
+
+
+# ------------------------------------------------------------ per-model rules
+
+
+RESNET_RULES: Rules = (
+    (r"shortcut_conv", "shortcut.0"),
+    (r"shortcut_bn", "shortcut.1"),
+)
+
+
+YOLO_NAS_RULES: Rules = (
+    # QARepVGG branch naming
+    (r"branch_3x3_conv", "branch_3x3.conv"),
+    (r"branch_3x3_bn", "branch_3x3.bn"),
+    # heads use ConvBNReLU (-> .seq.conv/.seq.bn) and Sequential-wrapped convs
+    (r"(head\d\.stem)\.conv", r"\1.seq.conv"),
+    (r"(head\d\.stem)\.bn", r"\1.seq.bn"),
+    (r"(head\d\.(?:cls|reg)_convs)\.conv", r"\1.0.seq.conv"),
+    (r"(head\d\.(?:cls|reg)_convs)\.bn", r"\1.0.seq.bn"),
+)
+
+
+def resnet_key_mapper():
+    return RESNET_RULES
+
+
+def yolo_nas_key_mapper():
+    return YOLO_NAS_RULES
+
+
+def load_torch_weights(
+    model,
+    checkpoint_path: str,
+    rules: Optional[Rules] = None,
+    strict: bool = True,
+    prefer_ema: bool = True,
+):
+    """Load a reference ``.pth`` checkpoint file into an SgModel."""
+    import torch
+
+    ckpt = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and ("net" in ckpt or "ema_net" in ckpt):
+        sd = ckpt.get("ema_net") if (prefer_ema and ckpt.get("ema_net")) else ckpt["net"]
+    elif isinstance(ckpt, dict) and "state_dict" in ckpt:
+        sd = ckpt["state_dict"]
+    else:
+        sd = ckpt
+    if rules is None:
+        mapper = getattr(model, "torch_key_mapper", None)
+        rules = mapper() if callable(mapper) else ()
+    variables = convert_state_dict(sd, model.variables, rules=rules, strict=strict)
+    model.update_variables(variables)
+    return model

@@ -1,0 +1,128 @@
+"""models.get — the model zoo entry point.
+
+Reference parity: ``training/models/model_factory.py:31-256`` (``get`` →
+``instantiate_model`` → registry lookup → pretrained load → head replace).
+
+Each registered architecture is a builder returning a :class:`ModelSpec`; ``get``
+initializes the flax variables, optionally loads/converts a checkpoint, and wraps
+everything in the right task-specific SgModel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from super_gradients_tpu.common.logging_utils import get_logger
+from super_gradients_tpu.common.registry import ARCHITECTURES
+from super_gradients_tpu.inference.processing import Processing
+from super_gradients_tpu.models.sg_model import (
+    ClassificationModel,
+    DetectionModel,
+    SegmentationModel,
+    SgModel,
+)
+
+logger = get_logger(__name__)
+
+TASK_WRAPPERS = {
+    "classification": ClassificationModel,
+    "detection": DetectionModel,
+    "segmentation": SegmentationModel,
+    "generic": SgModel,
+}
+
+
+@dataclasses.dataclass
+class ModelSpec:
+    """What an architecture builder returns (module + metadata)."""
+
+    module: Any
+    task: str
+    num_classes: int
+    input_hw: Tuple[int, int]
+    config: Any = None
+    processing: Optional[Processing] = None
+    class_names: Optional[List[str]] = None
+    torch_key_mapper: Optional[Callable] = None  # for checkpoint conversion
+    wrapper_cls: Optional[type] = None  # override task wrapper (e.g. pose)
+
+
+def get_architecture(model_name: str) -> Callable:
+    if model_name not in ARCHITECTURES:
+        close = [k for k in ARCHITECTURES if model_name.lower() in k.lower()]
+        hint = f" Close matches: {close[:5]}" if close else ""
+        raise KeyError(f"Unknown architecture `{model_name}`.{hint} ({len(ARCHITECTURES)} registered)")
+    return ARCHITECTURES[model_name]
+
+
+def get(
+    model_name: str,
+    num_classes: Optional[int] = None,
+    arch_params: Optional[Dict] = None,
+    checkpoint_path: Optional[str] = None,
+    pretrained_weights: Optional[str] = None,
+    seed: int = 0,
+    checkpoint_num_classes: Optional[int] = None,
+    **kwargs,
+) -> SgModel:
+    """Instantiate a model from the zoo (ref ``models.get``, model_factory.py:192).
+
+    Args:
+        model_name: registered architecture name (e.g. ``"resnet18"``, ``"yolo_nas_s"``).
+        num_classes: override the default class count (head re-init).
+        arch_params: architecture-specific overrides forwarded to the builder.
+        checkpoint_path: a checkpoint to load; ``.pth`` files are converted from
+            torch on the fly (reference-weight ingestion), orbax dirs load natively.
+        pretrained_weights: dataset tag (``"coco"``/``"imagenet"``). Requires the
+            weight file to be available locally (this environment has no egress);
+            use ``checkpoint_path`` with a downloaded reference ``.pth``.
+    """
+    builder = get_architecture(model_name)
+    spec: ModelSpec = builder(num_classes=num_classes, arch_params=arch_params or {}, **kwargs)
+
+    rng = jax.random.PRNGKey(seed)
+    example = jnp.zeros((1, spec.input_hw[0], spec.input_hw[1], 3), dtype=jnp.float32)
+    variables = spec.module.init(rng, example, train=False)
+
+    wrapper = spec.wrapper_cls or TASK_WRAPPERS[spec.task]
+    model = wrapper(
+        name=model_name,
+        module=spec.module,
+        variables=variables,
+        num_classes=spec.num_classes,
+        config=spec.config,
+        processing=spec.processing,
+        class_names=spec.class_names,
+        input_hw=spec.input_hw,
+    )
+
+    if pretrained_weights is not None and checkpoint_path is None:
+        raise ValueError(
+            "pretrained_weights requires network download which is unavailable in this "
+            "environment; pass checkpoint_path to a local reference .pth instead."
+        )
+
+    if checkpoint_path is not None:
+        if checkpoint_path.endswith((".pth", ".pt")):
+            from super_gradients_tpu.conversion.torch_converter import load_torch_weights
+
+            rules = spec.torch_key_mapper() if spec.torch_key_mapper else ()
+            load_torch_weights(model, checkpoint_path, rules=rules)
+        else:
+            from super_gradients_tpu.training.checkpoints import load_checkpoint_into_model
+
+            load_checkpoint_into_model(model, checkpoint_path)
+    return model
+
+
+def convert_from_torch(model: SgModel, state_dict, torch_key_mapper: Callable) -> SgModel:
+    """Convert a torch state_dict into the model's variables (see conversion/)."""
+    from super_gradients_tpu.conversion.torch_converter import convert_state_dict
+
+    variables = convert_state_dict(state_dict, model.variables, torch_key_mapper)
+    model.update_variables(variables)
+    return model

@@ -1,0 +1,320 @@
+"""SgModel — the stateful model wrapper around a pure flax module + variables.
+
+Reference parity: ``SgModule`` (``training/models/sg_module.py:9-80``) + the
+``HasPredict`` capability (``module_interfaces/module_interfaces.py:23``) + the predict
+pipelines (``training/pipelines/pipelines.py``). In the functional TPU design the
+*module* stays pure (init/apply); SgModel owns the variables pytree, processing
+params, and the cached jitted predict programs.
+
+The fused predict program (preprocess-on-device → forward → decode → NMS) compiles to
+ONE XLA executable per (batch, height, width) — the north-star replacement for the
+reference's per-image Python loop (``pipelines.py:195-216``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from super_gradients_tpu.common.logging_utils import get_logger
+from super_gradients_tpu.inference.media import images_to_list
+from super_gradients_tpu.inference.prediction_results import (
+    ClassificationPrediction,
+    DetectionPrediction,
+    ImagesPredictions,
+    PoseEstimationPrediction,
+    SegmentationPrediction,
+)
+from super_gradients_tpu.inference.processing import ComposeProcessing, Processing
+from super_gradients_tpu.ops.nms import NMSOutput, batched_nms
+
+logger = get_logger(__name__)
+
+
+class SgModel:
+    """A flax module + its variables + task metadata, with a predict() surface."""
+
+    task: str = "generic"
+
+    def __init__(
+        self,
+        name: str,
+        module: Any,
+        variables: Dict,
+        num_classes: Optional[int] = None,
+        config: Any = None,
+        processing: Optional[Processing] = None,
+        class_names: Optional[List[str]] = None,
+        input_hw: Tuple[int, int] = (224, 224),
+    ):
+        self.name = name
+        self.module = module
+        self.variables = variables
+        self.num_classes = num_classes
+        self.config = config
+        self._processing = processing
+        self._class_names = class_names
+        self._input_hw = tuple(input_hw)
+        self._predict_cache: Dict = {}
+
+    # ----------------------------------------------------------------- basics
+
+    @property
+    def params(self):
+        return self.variables.get("params", {})
+
+    @property
+    def batch_stats(self):
+        return self.variables.get("batch_stats", {})
+
+    def __call__(self, x, train: bool = False, **kwargs):
+        return self.apply(x, train=train, **kwargs)
+
+    def apply(self, x, train: bool = False, mutable: Optional[Sequence[str]] = None, **kwargs):
+        if train and mutable is None:
+            mutable = ["batch_stats"] if "batch_stats" in self.variables else []
+        if mutable:
+            return self.module.apply(self.variables, x, train=train, mutable=mutable, **kwargs)
+        return self.module.apply(self.variables, x, train=train, **kwargs)
+
+    def update_variables(self, variables: Dict):
+        self.variables = variables
+        self._predict_cache.clear()
+
+    def num_params(self) -> int:
+        return sum(int(p.size) for p in jax.tree_util.tree_leaves(self.params))
+
+    # -------------------------------------------------- processing params API
+    # (reference HasPreprocessingParams / set_dataset_processing_params)
+
+    def set_dataset_processing_params(
+        self,
+        class_names: Optional[List[str]] = None,
+        image_processor: Optional[Processing] = None,
+        **kwargs,
+    ):
+        if class_names is not None:
+            self._class_names = list(class_names)
+        if image_processor is not None:
+            self._processing = image_processor
+        self._predict_cache.clear()
+
+    def get_processing_params(self) -> Optional[Processing]:
+        return self._processing
+
+    @property
+    def class_names(self):
+        return self._class_names
+
+    def predict(self, images, **kwargs):
+        raise NotImplementedError(f"predict() is not implemented for task `{self.task}`")
+
+    # --------------------------------------------------------------- internal
+
+    def _prep_host_batches(self, images, batch_size: int):
+        """Host-side: load + geometric preprocess each image; group into batches."""
+        image_list = images_to_list(images)
+        processed, metas = [], []
+        for img in image_list:
+            if self._processing is not None:
+                out, meta = self._processing.preprocess_image(img)
+            else:
+                out, meta = img, None
+            processed.append(np.asarray(out, dtype=np.float32))
+            metas.append(meta)
+        batches = []
+        for i in range(0, len(processed), batch_size):
+            chunk = processed[i : i + batch_size]
+            n = len(chunk)
+            if n < batch_size:  # pad to static batch for jit-cache friendliness
+                chunk = chunk + [np.zeros_like(chunk[0])] * (batch_size - n)
+            batches.append((np.stack(chunk), n))
+        return image_list, batches, metas
+
+
+class DetectionModel(SgModel):
+    """Detection task wrapper: fused forward+decode+NMS predict program."""
+
+    task = "detection"
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        # defaults mirror CustomizableDetector (customizable_detector.py:84-92)
+        self._default_nms_iou = 0.7
+        self._default_nms_conf = 0.25
+        self._default_nms_top_k = 1024
+        self._default_max_predictions = 300
+        self._default_multi_label_per_box = True
+        self._default_class_agnostic_nms = False
+
+    def _predict_program(self, conf, iou, nms_top_k, max_predictions, multi_label, class_agnostic, nms_mode):
+        """One jitted program: [B,H,W,3] float (0..255-standardized already) → NMSOutput."""
+
+        variables = self.variables
+        module = self.module
+
+        @jax.jit
+        def program(images: jnp.ndarray) -> NMSOutput:
+            outputs = module.apply(variables, images, train=False)
+            return batched_nms(
+                outputs.pred_bboxes,
+                outputs.pred_scores,
+                score_threshold=conf,
+                iou_threshold=iou,
+                nms_top_k=nms_top_k,
+                max_predictions=max_predictions,
+                multi_label=multi_label,
+                class_agnostic=class_agnostic,
+                mode=nms_mode,
+            )
+
+        return program
+
+    def predict(
+        self,
+        images,
+        iou: Optional[float] = None,
+        conf: Optional[float] = None,
+        batch_size: int = 8,
+        max_predictions: Optional[int] = None,
+        nms_top_k: Optional[int] = None,
+        multi_label_per_box: Optional[bool] = None,
+        class_agnostic_nms: Optional[bool] = None,
+        nms_mode: str = "exact",
+    ) -> ImagesPredictions:
+        """Run the fused predict pipeline (ref ``model.predict``,
+        customizable_detector.py:281-323 + pipelines.py:102-236)."""
+        iou = iou if iou is not None else self._default_nms_iou
+        conf = conf if conf is not None else self._default_nms_conf
+        max_predictions = max_predictions or self._default_max_predictions
+        nms_top_k = nms_top_k or self._default_nms_top_k
+        multi_label = self._default_multi_label_per_box if multi_label_per_box is None else multi_label_per_box
+        class_agnostic = self._default_class_agnostic_nms if class_agnostic_nms is None else class_agnostic_nms
+
+        image_list, batches, metas = self._prep_host_batches(images, batch_size)
+
+        key = ("det", conf, iou, nms_top_k, max_predictions, multi_label, class_agnostic, nms_mode)
+        if key not in self._predict_cache:
+            self._predict_cache[key] = self._predict_program(
+                conf, iou, nms_top_k, max_predictions, multi_label, class_agnostic, nms_mode
+            )
+        program = self._predict_cache[key]
+
+        predictions: List[DetectionPrediction] = []
+        img_idx = 0
+        for batch, n_valid in batches:
+            out: NMSOutput = program(jnp.asarray(batch))
+            boxes = np.asarray(out.boxes)
+            scores = np.asarray(out.scores)
+            labels = np.asarray(out.labels)
+            nums = np.asarray(out.num_detections)
+            for j in range(n_valid):
+                n = int(nums[j])
+                b = boxes[j, :n]
+                meta = metas[img_idx]
+                if meta is not None and self._processing is not None:
+                    b = self._processing.postprocess_boxes(b.copy(), meta)
+                h, w = image_list[img_idx].shape[:2]
+                b[:, 0::2] = np.clip(b[:, 0::2], 0, w)
+                b[:, 1::2] = np.clip(b[:, 1::2], 0, h)
+                predictions.append(
+                    DetectionPrediction(
+                        bboxes_xyxy=b,
+                        confidence=scores[j, :n],
+                        labels=labels[j, :n],
+                        class_names=self._class_names,
+                        image=image_list[img_idx],
+                    )
+                )
+                img_idx += 1
+        return ImagesPredictions(predictions)
+
+    def predict_batch_tensor(self, images: jnp.ndarray, **kwargs) -> NMSOutput:
+        """Raw fused path for uniform pre-sized input [B,H,W,3] (bench/serving)."""
+        conf = kwargs.get("conf", self._default_nms_conf)
+        iou = kwargs.get("iou", self._default_nms_iou)
+        key = (
+            "det",
+            conf,
+            iou,
+            kwargs.get("nms_top_k", self._default_nms_top_k),
+            kwargs.get("max_predictions", self._default_max_predictions),
+            kwargs.get("multi_label_per_box", self._default_multi_label_per_box),
+            kwargs.get("class_agnostic_nms", self._default_class_agnostic_nms),
+            kwargs.get("nms_mode", "exact"),
+        )
+        if key not in self._predict_cache:
+            self._predict_cache[key] = self._predict_program(*key[1:])
+        return self._predict_cache[key](images)
+
+
+class ClassificationModel(SgModel):
+    task = "classification"
+
+    def predict(self, images, batch_size: int = 32, top_k: int = 5) -> ImagesPredictions:
+        image_list, batches, metas = self._prep_host_batches(images, batch_size)
+
+        if "cls" not in self._predict_cache:
+            variables, module = self.variables, self.module
+
+            @jax.jit
+            def program(x):
+                logits = module.apply(variables, x, train=False)
+                return jax.nn.softmax(logits, axis=-1)
+
+            self._predict_cache["cls"] = program
+
+        program = self._predict_cache["cls"]
+        preds: List[ClassificationPrediction] = []
+        img_idx = 0
+        for batch, n_valid in batches:
+            probs = np.asarray(program(jnp.asarray(batch)))
+            for j in range(n_valid):
+                order = np.argsort(-probs[j])[:top_k]
+                preds.append(
+                    ClassificationPrediction(
+                        confidence=probs[j][order],
+                        labels=order,
+                        class_names=self._class_names,
+                        image=image_list[img_idx],
+                    )
+                )
+                img_idx += 1
+        return ImagesPredictions(preds)
+
+
+class SegmentationModel(SgModel):
+    task = "segmentation"
+
+    def predict(self, images, batch_size: int = 4) -> ImagesPredictions:
+        image_list, batches, metas = self._prep_host_batches(images, batch_size)
+        if "seg" not in self._predict_cache:
+            variables, module = self.variables, self.module
+
+            @jax.jit
+            def program(x):
+                logits = module.apply(variables, x, train=False)
+                return jnp.argmax(logits, axis=-1)
+
+            self._predict_cache["seg"] = program
+        program = self._predict_cache["seg"]
+        preds: List[SegmentationPrediction] = []
+        img_idx = 0
+        for batch, n_valid in batches:
+            maps = np.asarray(program(jnp.asarray(batch)))
+            for j in range(n_valid):
+                seg = maps[j]
+                h, w = image_list[img_idx].shape[:2]
+                if seg.shape != (h, w):  # undo resize back to original
+                    from PIL import Image
+
+                    seg = np.asarray(Image.fromarray(seg.astype(np.uint8)).resize((w, h), Image.NEAREST))
+                preds.append(
+                    SegmentationPrediction(segmentation_map=seg, class_names=self._class_names, image=image_list[img_idx])
+                )
+                img_idx += 1
+        return ImagesPredictions(preds)

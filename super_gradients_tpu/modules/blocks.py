@@ -1,0 +1,393 @@
+"""Reusable conv blocks (flax.linen, NHWC).
+
+TPU-native re-design of the reference's ``modules/`` package
+(``conv_bn_act_block.py``, ``qarepvgg_block.py:10-330``, ``repvgg_block.py:8-230``,
+``se_blocks.py``). Key differences from the torch originals:
+
+- NHWC layout (XLA:TPU's preferred conv layout); weights convert from torch OIHW.
+- Explicit symmetric padding ``k//2`` to match torch's ``autopad`` semantics exactly
+  (XLA "SAME" pads asymmetrically for even sizes — would break checkpoint parity).
+- Re-parameterization (RepVGG/QARepVGG fuse) is a *pure function on the param pytree*
+  (:func:`fuse_qarepvgg_params`), not module surgery: the fused module is the same
+  class with ``fused=True`` and the fused params are computed functionally.
+- BatchNorm momentum convention: flax ``momentum`` = 1 - torch momentum.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+ModuleDef = Any
+
+ACTIVATIONS: dict = {
+    "relu": nn.relu,
+    "relu6": lambda x: jnp.minimum(nn.relu(x), 6.0),
+    "silu": nn.silu,
+    "swish": nn.silu,
+    "lrelu": lambda x: nn.leaky_relu(x, 0.1),
+    "leaky_relu": lambda x: nn.leaky_relu(x, 0.1),
+    "hardswish": nn.hard_swish,
+    "hardsigmoid": nn.hard_sigmoid,
+    "sigmoid": nn.sigmoid,
+    "gelu": nn.gelu,
+    "mish": lambda x: x * jnp.tanh(nn.softplus(x)),
+    "identity": lambda x: x,
+    None: lambda x: x,
+}
+
+
+def get_activation(name) -> Callable:
+    if callable(name):
+        return name
+    if name not in ACTIVATIONS:
+        raise KeyError(f"Unknown activation `{name}`; known: {sorted(k for k in ACTIVATIONS if k)}")
+    return ACTIVATIONS[name]
+
+
+def autopad(kernel: int, padding: Optional[int] = None) -> int:
+    """torch-style same-ish padding: k//2 (reference ``modules/utils.py`` autopad)."""
+    return padding if padding is not None else kernel // 2
+
+
+def width_multiplier(original: int, factor: float, divisor: Optional[int] = None) -> int:
+    """Channel scaling helper (reference ``modules/utils.py`` width_multiplier)."""
+    if divisor is None:
+        return int(original * factor)
+    return math.ceil(int(original * factor) / divisor) * divisor
+
+
+class ConvBNAct(nn.Module):
+    """Conv2d → BatchNorm → activation (reference ``Conv``/``ConvBNAct``/``ConvBNReLU``).
+
+    ``padding=None`` → torch autopad (k//2, symmetric). BN follows the enclosing
+    model's (eps, momentum) settings passed explicitly.
+    """
+
+    out_channels: int
+    kernel: int = 3
+    stride: int = 1
+    groups: int = 1
+    dilation: int = 1
+    padding: Optional[int] = None
+    act: Any = "relu"
+    use_bn: bool = True
+    bias: bool = False
+    bn_eps: float = 1e-5
+    bn_momentum: float = 0.1  # torch convention; flax uses 1 - this
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = autopad(self.kernel, self.padding)
+        x = nn.Conv(
+            self.out_channels,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)),
+            feature_group_count=self.groups,
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.bias,
+            name="conv",
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=1.0 - self.bn_momentum,
+                epsilon=self.bn_eps,
+                name="bn",
+            )(x)
+        return get_activation(self.act)(x)
+
+
+class SEBlock(nn.Module):
+    """Squeeze-and-excitation (reference ``modules/se_blocks.py``)."""
+
+    squeeze_channels: int
+    act: Any = "relu"
+    gate: Any = "sigmoid"
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(self.squeeze_channels, (1, 1), use_bias=True, name="fc1")(s)
+        s = get_activation(self.act)(s)
+        s = nn.Conv(c, (1, 1), use_bias=True, name="fc2")(s)
+        return x * get_activation(self.gate)(s)
+
+
+class ConvTranspose2x2(nn.Module):
+    """Exact analogue of ``nn.ConvTranspose2d(in, out, kernel_size=2, stride=2)``.
+
+    Implemented as einsum + reshape (non-overlapping stride==kernel case), which is
+    both bit-exact vs torch and MXU-friendly. Weight layout: [2, 2, in, out]
+    (torch ``[in, out, 2, 2]`` transposes to this in the converter).
+    """
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (2, 2, c, self.out_channels))
+        bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        # y[b, 2i+p, 2j+q, o] = sum_c x[b,i,j,c] * K[p,q,c,o]
+        y = jnp.einsum("bhwc,pqco->bhpwqo", x, kernel)
+        y = y.reshape(b, h * 2, w * 2, self.out_channels)
+        return y + bias
+
+
+class QARepVGGBlock(nn.Module):
+    """QARepVGG S4 block (reference ``modules/qarepvgg_block.py:10-330``).
+
+    Branches: 3x3 conv + BN  ||  1x1 conv (+bias, *alpha)  ||  identity;
+    sum → post-BN → act → SE. When ``fused=True`` the module holds a single
+    ``rbr_reparam`` 3x3 conv + bias (partial fusion keeps ``post_bn``; full fusion
+    folds it — both produced functionally by :func:`fuse_qarepvgg_params`).
+    """
+
+    out_channels: int
+    stride: int = 1
+    groups: int = 1
+    dilation: int = 1
+    act: Any = "relu"
+    use_residual: bool = True
+    use_alpha: bool = False
+    use_1x1_bias: bool = True
+    use_post_bn: bool = True
+    bn_eps: float = 1e-5
+    bn_momentum: float = 0.1
+    se_ratio: Optional[float] = None  # None = no SE
+    fused: str = "none"  # none | partial | full
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = self.dilation
+        act_fn = get_activation(self.act)
+
+        if self.fused != "none":
+            y = nn.Conv(
+                self.out_channels,
+                (3, 3),
+                strides=(self.stride, self.stride),
+                padding=((p, p), (p, p)),
+                feature_group_count=self.groups,
+                kernel_dilation=(self.dilation, self.dilation),
+                use_bias=True,
+                name="rbr_reparam",
+            )(x)
+            if self.fused == "partial" and self.use_post_bn:
+                y = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=1.0 - self.bn_momentum,
+                    epsilon=self.bn_eps,
+                    name="post_bn",
+                )(y)
+            out = act_fn(y)
+        else:
+            y3 = nn.Conv(
+                self.out_channels,
+                (3, 3),
+                strides=(self.stride, self.stride),
+                padding=((p, p), (p, p)),
+                feature_group_count=self.groups,
+                kernel_dilation=(self.dilation, self.dilation),
+                use_bias=False,
+                name="branch_3x3_conv",
+            )(x)
+            y3 = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=1.0 - self.bn_momentum,
+                epsilon=self.bn_eps,
+                name="branch_3x3_bn",
+            )(y3)
+            y1 = nn.Conv(
+                self.out_channels,
+                (1, 1),
+                strides=(self.stride, self.stride),
+                feature_group_count=self.groups,
+                use_bias=self.use_1x1_bias,
+                name="branch_1x1",
+            )(x)
+            if self.use_alpha:
+                alpha = self.param("alpha", nn.initializers.ones, (1,))
+                y1 = alpha * y1
+            y = y3 + y1
+            if self.use_residual:
+                y = y + x
+            if self.use_post_bn:
+                y = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=1.0 - self.bn_momentum,
+                    epsilon=self.bn_eps,
+                    name="post_bn",
+                )(y)
+            out = act_fn(y)
+
+        if self.se_ratio:
+            out = SEBlock(max(1, int(self.out_channels * self.se_ratio)), name="se")(out)
+        return out
+
+
+class RepVGGBlock(nn.Module):
+    """Classic RepVGG block (reference ``modules/repvgg_block.py:8-230``):
+    3x3 conv+BN || 1x1 conv+BN || identity-BN, sum → act → SE. Each branch has its
+    own BN (3 BNs); fuses to a single 3x3 conv via :func:`fuse_repvgg_params`.
+    """
+
+    out_channels: int
+    stride: int = 1
+    groups: int = 1
+    dilation: int = 1
+    act: Any = "relu"
+    use_residual: bool = True
+    se_ratio: Optional[float] = None
+    bn_eps: float = 1e-5
+    bn_momentum: float = 0.1
+    fused: str = "none"  # none | full
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = self.dilation
+        act_fn = get_activation(self.act)
+        if self.fused != "none":
+            y = nn.Conv(
+                self.out_channels,
+                (3, 3),
+                strides=(self.stride, self.stride),
+                padding=((p, p), (p, p)),
+                feature_group_count=self.groups,
+                kernel_dilation=(self.dilation, self.dilation),
+                use_bias=True,
+                name="rbr_reparam",
+            )(x)
+            out = act_fn(y)
+        else:
+            bn_kw = dict(use_running_average=not train, momentum=1.0 - self.bn_momentum, epsilon=self.bn_eps)
+            y3 = nn.Conv(
+                self.out_channels,
+                (3, 3),
+                strides=(self.stride, self.stride),
+                padding=((p, p), (p, p)),
+                feature_group_count=self.groups,
+                kernel_dilation=(self.dilation, self.dilation),
+                use_bias=False,
+                name="branch_3x3_conv",
+            )(x)
+            y3 = nn.BatchNorm(name="branch_3x3_bn", **bn_kw)(y3)
+            y1 = nn.Conv(
+                self.out_channels,
+                (1, 1),
+                strides=(self.stride, self.stride),
+                feature_group_count=self.groups,
+                use_bias=False,
+                name="branch_1x1_conv",
+            )(x)
+            y1 = nn.BatchNorm(name="branch_1x1_bn", **bn_kw)(y1)
+            y = y3 + y1
+            if self.use_residual:
+                y = y + nn.BatchNorm(name="identity_bn", **bn_kw)(x)
+            out = act_fn(y)
+        if self.se_ratio:
+            out = SEBlock(max(1, int(self.out_channels * self.se_ratio)), name="se")(out)
+        return out
+
+
+# ------------------------------------------------------------------ fusion math
+# Pure pytree→pytree transforms implementing the reference's reparameterization
+# (qarepvgg_block.py:207-300, repvgg_block.py:163-217) in NHWC/HWIO layout.
+
+
+def _fuse_bn(kernel: jnp.ndarray, bias, mean, var, gamma, beta, eps) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fold BN into a conv kernel [kh, kw, in, out] + bias [out]."""
+    std = jnp.sqrt(var + eps)
+    a = gamma / std
+    fused_kernel = kernel * a[None, None, None, :]
+    fused_bias = (bias if bias is not None else 0.0) * a + beta - gamma * mean / std
+    return fused_kernel, fused_bias
+
+
+def _pad_1x1_to_3x3(kernel1x1: jnp.ndarray) -> jnp.ndarray:
+    return jnp.pad(kernel1x1, ((1, 1), (1, 1), (0, 0), (0, 0)))
+
+
+def _identity_kernel_3x3(channels: int, groups: int, dtype) -> jnp.ndarray:
+    in_dim = channels // groups
+    k = jnp.zeros((3, 3, in_dim, channels), dtype=dtype)
+    idx_out = jnp.arange(channels)
+    return k.at[1, 1, idx_out % in_dim, idx_out].set(1.0)
+
+
+def fuse_qarepvgg_params(block_params: dict, block_stats: dict, cfg: QARepVGGBlock) -> Tuple[dict, dict, dict]:
+    """Compute (partial-)fused params for one QARepVGG block.
+
+    Returns (fused_params, fused_batch_stats_partial, fully_fused_params):
+    - partial fusion: branches → single conv, ``post_bn`` retained (trainable);
+    - full fusion: post_bn folded in as well (deploy).
+    Mirrors reference ``partial_fusion``/``full_fusion`` (qarepvgg_block.py:255-320).
+    """
+    k3 = block_params["branch_3x3_conv"]["kernel"]
+    bn3 = block_params["branch_3x3_bn"]
+    st3 = block_stats["branch_3x3_bn"]
+    kernel3, bias3 = _fuse_bn(k3, None, st3["mean"], st3["var"], bn3["scale"], bn3["bias"], cfg.bn_eps)
+
+    k1 = _pad_1x1_to_3x3(block_params["branch_1x1"]["kernel"])
+    b1 = block_params["branch_1x1"].get("bias", jnp.zeros(cfg.out_channels, k1.dtype))
+    alpha = block_params.get("alpha", jnp.ones((1,), k1.dtype))[0] if cfg.use_alpha else 1.0
+
+    eq_kernel = kernel3 + alpha * k1
+    eq_bias = bias3 + alpha * b1
+    if cfg.use_residual:
+        eq_kernel = eq_kernel + _identity_kernel_3x3(cfg.out_channels, cfg.groups, eq_kernel.dtype)
+
+    partial_params = {"rbr_reparam": {"kernel": eq_kernel, "bias": eq_bias}}
+    partial_stats = {}
+    if cfg.use_post_bn:
+        partial_params["post_bn"] = dict(block_params["post_bn"])
+        partial_stats["post_bn"] = dict(block_stats["post_bn"])
+        pbn = block_params["post_bn"]
+        pst = block_stats["post_bn"]
+        full_kernel, full_bias = _fuse_bn(eq_kernel, eq_bias, pst["mean"], pst["var"], pbn["scale"], pbn["bias"], cfg.bn_eps)
+    else:
+        full_kernel, full_bias = eq_kernel, eq_bias
+    full_params = {"rbr_reparam": {"kernel": full_kernel, "bias": full_bias}}
+    return partial_params, partial_stats, full_params
+
+
+def fuse_repvgg_params(block_params: dict, block_stats: dict, cfg: RepVGGBlock) -> dict:
+    """Fully fuse a RepVGG block's three branches into one 3x3 conv (deploy)."""
+    k3, b3 = _fuse_bn(
+        block_params["branch_3x3_conv"]["kernel"],
+        None,
+        block_stats["branch_3x3_bn"]["mean"],
+        block_stats["branch_3x3_bn"]["var"],
+        block_params["branch_3x3_bn"]["scale"],
+        block_params["branch_3x3_bn"]["bias"],
+        cfg.bn_eps,
+    )
+    k1, b1 = _fuse_bn(
+        _pad_1x1_to_3x3(block_params["branch_1x1_conv"]["kernel"]),
+        None,
+        block_stats["branch_1x1_bn"]["mean"],
+        block_stats["branch_1x1_bn"]["var"],
+        block_params["branch_1x1_bn"]["scale"],
+        block_params["branch_1x1_bn"]["bias"],
+        cfg.bn_eps,
+    )
+    kernel, bias = k3 + k1, b3 + b1
+    if cfg.use_residual:
+        kid, bid = _fuse_bn(
+            _identity_kernel_3x3(cfg.out_channels, cfg.groups, k3.dtype),
+            None,
+            block_stats["identity_bn"]["mean"],
+            block_stats["identity_bn"]["var"],
+            block_params["identity_bn"]["scale"],
+            block_params["identity_bn"]["bias"],
+            cfg.bn_eps,
+        )
+        kernel, bias = kernel + kid, bias + bid
+    return {"rbr_reparam": {"kernel": kernel, "bias": bias}}
