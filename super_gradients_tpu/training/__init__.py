@@ -1,0 +1,1 @@
+from super_gradients_tpu.training import dataloaders  # noqa: F401

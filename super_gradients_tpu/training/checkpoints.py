@@ -1,0 +1,120 @@
+"""Checkpoint save/load (orbax-backed).
+
+Reference parity: ``Trainer._save_checkpoint`` (sg_trainer.py:649-739) —
+``ckpt_latest`` every validated epoch, ``ckpt_best`` on metric_to_watch improvement,
+``ckpt_epoch_N`` list, plus state (net/ema/opt/step/metric/processing params). The
+directory scheme is ``ckpt_root_dir/<experiment>/RUN_<ts>/<name>/`` with orbax pytree
+dirs instead of ``.pth`` files; each save is preemption-safe (atomic rename by orbax)
+— an improvement the TPU environment requires (SURVEY §5 checkpoint/resume).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from super_gradients_tpu.common.logging_utils import get_logger
+
+logger = get_logger(__name__)
+
+_METADATA_FILE = "sg_metadata.json"
+
+
+def save_checkpoint(ckpt_dir: str, name: str, state_tree: Dict, metadata: Optional[Dict] = None):
+    """Save a pytree checkpoint under ``ckpt_dir/name`` (overwrites)."""
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    ckptr = ocp.StandardCheckpointer()
+    if os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
+    state_tree = jax.device_get(state_tree)
+    ckptr.save(path, state_tree)
+    ckptr.wait_until_finished()
+    if metadata is not None:
+        with open(os.path.join(ckpt_dir, f"{name}_{_METADATA_FILE}"), "w") as f:
+            json.dump(metadata, f, default=float)
+
+
+def load_checkpoint(ckpt_dir: str, name: str, target_tree: Optional[Dict] = None) -> Dict:
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path, target_tree) if target_tree is not None else ckptr.restore(path)
+    return restored
+
+
+def load_metadata(ckpt_dir: str, name: str) -> Dict:
+    p = os.path.join(ckpt_dir, f"{name}_{_METADATA_FILE}")
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {}
+
+
+def checkpoint_exists(ckpt_dir: str, name: str) -> bool:
+    return os.path.isdir(os.path.join(ckpt_dir, name))
+
+
+def load_checkpoint_into_model(model, checkpoint_path: str):
+    """Load an orbax checkpoint dir (saved variables) into an SgModel."""
+    if os.path.basename(checkpoint_path) == "":
+        checkpoint_path = checkpoint_path.rstrip("/")
+    ckpt_dir, name = os.path.split(os.path.abspath(checkpoint_path))
+    restored = load_checkpoint(ckpt_dir, name)
+    # accept either raw variables or a full train-state dict
+    if "variables" in restored:
+        model.update_variables(restored["variables"])
+    elif "params" in restored:
+        variables = {"params": restored["params"]}
+        if "batch_stats" in restored and restored["batch_stats"]:
+            variables["batch_stats"] = restored["batch_stats"]
+        model.update_variables(variables)
+    else:
+        model.update_variables(restored)
+    logger.info(f"Loaded checkpoint from {checkpoint_path}")
+    return model
+
+
+class BestCheckpointTracker:
+    """metric_to_watch bookkeeping (ref sg_trainer metric_to_watch logic)."""
+
+    def __init__(self, greater_is_better: bool = True):
+        self.greater_is_better = greater_is_better
+        self.best: Optional[float] = None
+
+    def is_improvement(self, value: float) -> bool:
+        if value is None or (isinstance(value, float) and np.isnan(value)):
+            return False
+        if self.best is None:
+            self.best = value
+            return True
+        better = value > self.best if self.greater_is_better else value < self.best
+        if better:
+            self.best = value
+        return better
+
+
+class AverageBestModels:
+    """Running average of the N best snapshots (ref weight_averaging_utils.py:1-132)."""
+
+    def __init__(self, n_best: int = 10, greater_is_better: bool = True):
+        self.n_best = n_best
+        self.greater_is_better = greater_is_better
+        self.snapshots: list = []  # (metric, params) pairs
+
+    def update(self, metric: float, params):
+        params = jax.device_get(params)
+        self.snapshots.append((metric, params))
+        self.snapshots.sort(key=lambda t: -t[0] if self.greater_is_better else t[0])
+        self.snapshots = self.snapshots[: self.n_best]
+
+    def averaged_params(self):
+        if not self.snapshots:
+            return None
+        trees = [p for _, p in self.snapshots]
+        return jax.tree_util.tree_map(lambda *xs: np.mean(np.stack(xs), axis=0), *trees)

@@ -1,0 +1,15 @@
+"""Loss registry surface (reference ``training/losses/all_losses.py``)."""
+
+from super_gradients_tpu.training.losses.classification_losses import (  # noqa: F401
+    CrossEntropyLoss,
+    LabelSmoothingCrossEntropyLoss,
+)
+from super_gradients_tpu.common.registry import LOSSES
+
+
+def get_loss(name_or_loss, criterion_params=None):
+    if callable(name_or_loss):
+        return name_or_loss
+    if name_or_loss not in LOSSES:
+        raise KeyError(f"Unknown loss `{name_or_loss}`; registered: {sorted(LOSSES)}")
+    return LOSSES[name_or_loss](**(criterion_params or {}))

@@ -1,0 +1,55 @@
+"""Classification losses (reference ``training/losses/label_smoothing_cross_entropy_loss.py``,
+``focal_loss.py``). Losses are callables: ``loss(outputs, targets) -> (loss, aux)``
+where ``aux`` is a dict of scalar components for logging.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from super_gradients_tpu.common.registry import register_loss
+
+
+@register_loss("CrossEntropyLoss")
+class CrossEntropyLoss:
+    def __init__(self, label_smoothing: float = 0.0):
+        self.label_smoothing = label_smoothing
+
+    def __call__(self, outputs: jnp.ndarray, targets: jnp.ndarray) -> Tuple[jnp.ndarray, Dict]:
+        num_classes = outputs.shape[-1]
+        if targets.ndim == outputs.ndim - 1:  # int labels
+            onehot = jax.nn.one_hot(targets, num_classes)
+        else:
+            onehot = targets
+        if self.label_smoothing:
+            onehot = optax.smooth_labels(onehot, self.label_smoothing)
+        loss = optax.softmax_cross_entropy(outputs, onehot).mean()
+        return loss, {"CrossEntropyLoss": loss}
+
+
+@register_loss("LabelSmoothingCrossEntropyLoss")
+class LabelSmoothingCrossEntropyLoss(CrossEntropyLoss):
+    def __init__(self, smooth_eps: float = 0.1, **kw):
+        super().__init__(label_smoothing=smooth_eps)
+
+
+@register_loss("FocalLoss")
+class FocalLoss:
+    """Binary focal loss over one-hot targets (ref ``losses/focal_loss.py``)."""
+
+    def __init__(self, alpha: float = 0.25, gamma: float = 2.0):
+        self.alpha, self.gamma = alpha, gamma
+
+    def __call__(self, outputs: jnp.ndarray, targets: jnp.ndarray) -> Tuple[jnp.ndarray, Dict]:
+        num_classes = outputs.shape[-1]
+        onehot = jax.nn.one_hot(targets, num_classes) if targets.ndim == outputs.ndim - 1 else targets
+        p = jax.nn.sigmoid(outputs)
+        ce = optax.sigmoid_binary_cross_entropy(outputs, onehot)
+        p_t = p * onehot + (1 - p) * (1 - onehot)
+        alpha_t = self.alpha * onehot + (1 - self.alpha) * (1 - onehot)
+        loss = (alpha_t * (1 - p_t) ** self.gamma * ce).sum(-1).mean()
+        return loss, {"FocalLoss": loss}

@@ -1,0 +1,410 @@
+"""Trainer — the training engine.
+
+Reference parity: ``training/sg_trainer/sg_trainer.py`` (Trainer :119, train :792,
+epoch loop :1520-1643, _train_epoch :461, _validate_epoch :2176, checkpointing
+:649-739, resume :309). TPU-native redesign (SURVEY §7):
+
+- ONE jitted ``train_step(state, batch) -> (state, metrics)`` closed over the loss,
+  optimizer, LR schedule and EMA decay; state is donated (in-place on device).
+- Data parallelism: batches are device_put with batch-axis NamedSharding over the
+  mesh; XLA/GSPMD inserts the gradient all-reduce over ICI — there is no DDP wrapper,
+  no NCCL, no subprocess relaunch. BatchNorm stats are computed over the GLOBAL batch
+  (free SyncBN — better than the reference's default).
+- Gradient accumulation via ``optax.MultiSteps`` (ref batch_accumulate,
+  sg_trainer.py:625-647); clip_grad_norm via ``optax.clip_by_global_norm``.
+- EMA as a pytree branch updated in-step (ref utils/ema.py:27).
+- Checkpoints: orbax pytree dirs — ckpt_latest / ckpt_best / ckpt_epoch_N /
+  average_model with metric_to_watch bookkeeping (ref sg_trainer.py:649-739).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from super_gradients_tpu.common.config import load_recipe
+from super_gradients_tpu.common.environment import generate_run_id, get_checkpoints_dir_path, get_latest_run_id
+from super_gradients_tpu.common.logging_utils import get_logger
+from super_gradients_tpu.parallel.mesh import batch_sharding, get_mesh, replicated_sharding
+from super_gradients_tpu.training import checkpoints as ckpt_utils
+from super_gradients_tpu.training.callbacks import Callback, CallbackHandler, PhaseContext
+from super_gradients_tpu.training.ema import ema_update, make_decay_fn
+from super_gradients_tpu.training.losses import get_loss
+from super_gradients_tpu.training.metrics import MetricCollection, get_metric
+from super_gradients_tpu.training.optimizers import build_optimizer
+from super_gradients_tpu.training.schedules import build_lr_schedule
+from super_gradients_tpu.training.train_state import TrainState
+
+logger = get_logger(__name__)
+
+
+def _default_training_params() -> Dict:
+    return load_recipe("training_hyperparams/default_train_params.yaml")
+
+
+class Trainer:
+    """ref sg_trainer.py:119."""
+
+    def __init__(self, experiment_name: str, ckpt_root_dir: Optional[str] = None, device: Optional[str] = None):
+        self.experiment_name = experiment_name
+        self.ckpt_root_dir = ckpt_root_dir
+        self.run_id = generate_run_id()
+        self.ckpt_dir: Optional[str] = None
+        self.best_metric: Optional[float] = None
+        self.train_state: Optional[TrainState] = None
+        self.train_loss_history: List[float] = []
+        self.valid_metrics_history: List[Dict[str, float]] = []
+
+    # ------------------------------------------------------------------ train
+
+    def train(
+        self,
+        model,
+        training_params: Dict,
+        train_loader,
+        valid_loader=None,
+        test_loaders: Optional[Dict[str, Any]] = None,
+        additional_callbacks: Optional[Sequence[Callback]] = None,
+    ):
+        tp = _default_training_params()
+        tp.update(training_params or {})
+        self.training_params = tp
+
+        mesh = get_mesh()
+        max_epochs = int(tp["max_epochs"])
+        steps_per_epoch = len(train_loader)
+        batch_accumulate = int(tp.get("batch_accumulate") or 1)
+        total_opt_steps = max(1, max_epochs * steps_per_epoch // batch_accumulate)
+
+        # ---- loss / schedule / optimizer -------------------------------
+        criterion = get_loss(tp.get("loss"), tp.get("criterion_params"))
+        lr_schedule = build_lr_schedule(
+            lr_mode=tp.get("lr_mode"),
+            initial_lr=float(tp["initial_lr"]),
+            max_epochs=max_epochs,
+            steps_per_epoch=max(1, steps_per_epoch // batch_accumulate),
+            lr_warmup_epochs=int(tp.get("lr_warmup_epochs") or 0),
+            lr_warmup_steps=int(tp.get("lr_warmup_steps") or 0),
+            warmup_initial_lr=tp.get("warmup_initial_lr"),
+            lr_cooldown_epochs=int(tp.get("lr_cooldown_epochs") or 0),
+            warmup_mode=tp.get("warmup_mode", "LinearEpochLRWarmup"),
+            cosine_final_lr_ratio=float(tp.get("cosine_final_lr_ratio") or 0.01),
+            lr_updates=tp.get("lr_updates") or [],
+            lr_decay_factor=float(tp.get("lr_decay_factor") or 0.1),
+            lr_schedule_function=tp.get("lr_schedule_function"),
+        )
+        tx = build_optimizer(
+            optimizer=tp.get("optimizer", "SGD"),
+            params=model.params,
+            lr_schedule=lr_schedule,
+            optimizer_params=tp.get("optimizer_params"),
+            zero_weight_decay_on_bias_and_bn=bool(tp.get("zero_weight_decay_on_bias_and_bn")),
+        )
+        if tp.get("clip_grad_norm"):
+            tx = optax.chain(optax.clip_by_global_norm(float(tp["clip_grad_norm"])), tx)
+        if batch_accumulate > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=batch_accumulate)
+
+        # ---- EMA --------------------------------------------------------
+        use_ema = bool(tp.get("ema"))
+        ema_params_cfg = dict(tp.get("ema_params") or {})
+        decay_fn = make_decay_fn(
+            decay=float(ema_params_cfg.get("decay", 0.9999)),
+            decay_type=ema_params_cfg.get("decay_type", "exp"),
+            beta=float(ema_params_cfg.get("beta", 15)),
+            total_steps=total_opt_steps,
+        ) if use_ema else None
+
+        # ---- state ------------------------------------------------------
+        params = model.params
+        batch_stats = model.batch_stats
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            # NOTE: must be a real copy — aliasing params would make donate_argnums
+            # donate the same buffer twice (XLA hard-abort)
+            ema_params=jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params) if use_ema else None,
+            ema_batch_stats=jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), batch_stats) if use_ema else None,
+        )
+
+        # ---- resume -----------------------------------------------------
+        start_epoch = 0
+        self.ckpt_dir = get_checkpoints_dir_path(self.experiment_name, self.ckpt_root_dir, self.run_id)
+        if tp.get("resume") or tp.get("run_id") or tp.get("resume_path"):
+            state, start_epoch = self._try_resume(tp, state)
+        if jax.process_index() == 0:
+            os.makedirs(self.ckpt_dir, exist_ok=True)
+
+        # state replicated over the mesh (also re-commits orbax-restored arrays that
+        # land on a single device and would clash with batch-sharded inputs)
+        state = jax.device_put(state, replicated_sharding(mesh))
+
+        # ---- jitted steps -----------------------------------------------
+        module = model.module
+        has_bn = bool(batch_stats)
+
+        def train_step(st: TrainState, inputs, targets):
+            def loss_fn(p):
+                variables = {"params": p}
+                if has_bn:
+                    variables["batch_stats"] = st.batch_stats
+                    out, mut = module.apply(variables, inputs, train=True, mutable=["batch_stats"])
+                    new_bs = mut["batch_stats"]
+                else:
+                    out = module.apply(variables, inputs, train=True)
+                    new_bs = st.batch_stats
+                loss, aux = criterion(out, targets)
+                return loss, (aux, new_bs)
+
+            (loss, (aux, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(st.params)
+            updates, new_opt = tx.update(grads, st.opt_state, st.params)
+            new_params = optax.apply_updates(st.params, updates)
+
+            opt_step = st.step // batch_accumulate
+            new_ema_p, new_ema_bs = st.ema_params, st.ema_batch_stats
+            if use_ema:
+                applied = (st.step + 1) % batch_accumulate == 0
+                d = decay_fn(opt_step.astype(jnp.float32))
+                cand_p = ema_update(st.ema_params, new_params, d)
+                new_ema_p = jax.tree_util.tree_map(
+                    lambda c, e: jnp.where(applied, c, e), cand_p, st.ema_params
+                )
+                if has_bn:
+                    cand_bs = ema_update(st.ema_batch_stats, new_bs, d)
+                    new_ema_bs = jax.tree_util.tree_map(
+                        lambda c, e: jnp.where(applied, c, e), cand_bs, st.ema_batch_stats
+                    )
+
+            new_state = st.replace(
+                step=st.step + 1,
+                params=new_params,
+                batch_stats=new_bs,
+                opt_state=new_opt,
+                ema_params=new_ema_p,
+                ema_batch_stats=new_ema_bs,
+            )
+            metrics = {"loss": loss, "lr": lr_schedule(opt_step.astype(jnp.float32))}
+            metrics.update({k: v for k, v in aux.items()})
+            return new_state, metrics
+
+        train_step = jax.jit(train_step, donate_argnums=0)
+
+        valid_metrics = MetricCollection([get_metric(m) for m in (tp.get("valid_metrics_list") or [])])
+
+        def eval_step(variables, metric_states, inputs, targets):
+            out = module.apply(variables, inputs, train=False)
+            new_states = valid_metrics.update_device(metric_states, out, targets)
+            loss, _ = criterion(out, targets)
+            return new_states, loss, out
+
+        eval_step = jax.jit(eval_step)
+
+        # ---- callbacks / context ----------------------------------------
+        callbacks = list(tp.get("phase_callbacks") or []) + list(additional_callbacks or [])
+        handler = CallbackHandler([c for c in callbacks if isinstance(c, Callback)])
+        context = PhaseContext(
+            trainer=self,
+            model=model,
+            training_params=tp,
+            experiment_name=self.experiment_name,
+            ckpt_dir=self.ckpt_dir,
+        )
+
+        metric_to_watch = tp.get("metric_to_watch", "Accuracy")
+        best_tracker = ckpt_utils.BestCheckpointTracker(bool(tp.get("greater_metric_to_watch_is_better", True)))
+        averager = ckpt_utils.AverageBestModels(greater_is_better=best_tracker.greater_is_better) if tp.get("average_best_models") else None
+
+        data_sharding = batch_sharding(mesh)
+        silent = bool(tp.get("silent_mode")) or jax.process_index() != 0
+
+        handler.on_training_start(context)
+        max_train_batches = tp.get("max_train_batches")
+        max_valid_batches = tp.get("max_valid_batches")
+
+        try:
+            for epoch in range(start_epoch, max_epochs):
+                context.update_context(epoch=epoch)
+                if context.stop_training:
+                    break
+                train_loader.set_epoch(epoch) if hasattr(train_loader, "set_epoch") else None
+                handler.on_train_loader_start(context)
+                t0 = time.time()
+                loss_sum, loss_count = 0.0, 0
+                last_metrics = {}
+                for batch_idx, batch in enumerate(train_loader):
+                    if max_train_batches and batch_idx >= max_train_batches:
+                        break
+                    inputs, targets = batch[0], batch[1]
+                    inputs = jax.device_put(jnp.asarray(inputs), data_sharding)
+                    targets = jax.device_put(jnp.asarray(targets), data_sharding)
+                    context.update_context(batch_idx=batch_idx, step=int(state.step))
+                    handler.on_train_batch_start(context)
+                    state, step_metrics = train_step(state, inputs, targets)
+                    loss_val = float(step_metrics["loss"])
+                    loss_sum += loss_val
+                    loss_count += 1
+                    context.update_context(loss_avg=loss_sum / loss_count, lr=float(step_metrics["lr"]))
+                    last_metrics = step_metrics
+                    handler.on_train_batch_end(context)
+                epoch_time = time.time() - t0
+                self.train_loss_history.append(loss_sum / max(loss_count, 1))
+                context.metrics_dict.update({"train_loss": loss_sum / max(loss_count, 1)})
+                handler.on_train_loader_end(context)
+
+                # ---------- validation ----------
+                should_validate = valid_loader is not None and (
+                    (epoch + 1) % int(tp.get("run_validation_freq") or 1) == 0 or epoch == max_epochs - 1
+                )
+                valid_results: Dict[str, float] = {}
+                if should_validate:
+                    handler.on_validation_loader_start(context)
+                    eval_vars = self._eval_variables(state, use_ema, has_bn)
+                    mstates = valid_metrics.init()
+                    vloss_sum, vcount = 0.0, 0
+                    host_states = mstates if valid_metrics.has_host_metrics() else None
+                    for vidx, batch in enumerate(valid_loader):
+                        if max_valid_batches and vidx >= max_valid_batches:
+                            break
+                        inputs = jax.device_put(jnp.asarray(batch[0]), data_sharding)
+                        targets = jax.device_put(jnp.asarray(batch[1]), data_sharding)
+                        mstates, vloss, out = eval_step(eval_vars, mstates, inputs, targets)
+                        if valid_metrics.has_host_metrics():
+                            mstates = valid_metrics.update_host(mstates, jax.device_get(out), np.asarray(batch[1]))
+                        vloss_sum += float(vloss)
+                        vcount += 1
+                        handler.on_validation_batch_end(context)
+                    valid_results = valid_metrics.compute(mstates)
+                    valid_results["Loss"] = vloss_sum / max(vcount, 1)
+                    self.valid_metrics_history.append(valid_results)
+                    context.update_context(valid_metrics=valid_results)
+                    handler.on_validation_loader_end(context)
+
+                if not silent:
+                    msg = f"Epoch {epoch + 1}/{max_epochs} | loss {loss_sum / max(loss_count, 1):.4f} | {epoch_time:.1f}s"
+                    if valid_results:
+                        msg += " | " + " ".join(f"{k}={v:.4f}" for k, v in valid_results.items())
+                    logger.info(msg)
+
+                # ---------- checkpointing ----------
+                if tp.get("save_model", True) and jax.process_index() == 0:
+                    self._save_epoch_checkpoints(
+                        state, model, epoch, tp, valid_results, metric_to_watch, best_tracker, averager, use_ema, has_bn
+                    )
+        except KeyboardInterrupt:
+            logger.info("Ctrl-C — finishing gracefully (checkpoint preserved)")
+
+        handler.on_training_end(context)
+
+        # hand the trained weights back to the model wrapper (EMA if enabled)
+        final_vars = self._eval_variables(state, use_ema, has_bn)
+        model.update_variables(jax.device_get(final_vars))
+        self.train_state = state
+        return model
+
+    # ------------------------------------------------------------ internals
+
+    @staticmethod
+    def _eval_variables(state: TrainState, use_ema: bool, has_bn: bool) -> Dict:
+        v = state.ema_variables if use_ema else state.variables
+        return v
+
+    def _save_epoch_checkpoints(self, state, model, epoch, tp, valid_results, metric_to_watch, best_tracker, averager, use_ema, has_bn):
+        state_tree = {
+            "step": state.step,
+            "params": state.params,
+            "batch_stats": state.batch_stats or {},
+            "ema_params": state.ema_params if use_ema else {},
+            "ema_batch_stats": (state.ema_batch_stats or {}) if use_ema else {},
+        }
+        meta = {"epoch": epoch, "metrics": valid_results, "experiment": self.experiment_name}
+        ckpt_utils.save_checkpoint(self.ckpt_dir, tp.get("ckpt_name", "ckpt_latest"), state_tree, meta)
+
+        if epoch in (tp.get("save_ckpt_epoch_list") or []):
+            ckpt_utils.save_checkpoint(self.ckpt_dir, f"ckpt_epoch_{epoch}", state_tree, meta)
+
+        watched = valid_results.get(metric_to_watch)
+        if watched is not None:
+            if averager is not None:
+                averager.update(watched, state.ema_params if use_ema else state.params)
+            if best_tracker.is_improvement(watched):
+                self.best_metric = watched
+                ckpt_utils.save_checkpoint(self.ckpt_dir, tp.get("ckpt_best_name", "ckpt_best"), state_tree, meta)
+                logger.info(f"New best {metric_to_watch}={watched:.4f} → ckpt_best")
+        if averager is not None and averager.snapshots:
+            avg = averager.averaged_params()
+            ckpt_utils.save_checkpoint(self.ckpt_dir, "average_model", {"params": avg, "batch_stats": state.batch_stats or {}})
+
+    def _try_resume(self, tp, state: TrainState):
+        resume_path = tp.get("resume_path")
+        if resume_path:
+            ckpt_dir, name = os.path.split(os.path.abspath(resume_path))
+        else:
+            run_id = tp.get("run_id") or get_latest_run_id(self.experiment_name, self.ckpt_root_dir)
+            if run_id is None:
+                logger.warning("resume=True but no previous run found — starting fresh")
+                return state, 0
+            self.run_id = run_id  # continue in the same run dir
+            self.ckpt_dir = get_checkpoints_dir_path(self.experiment_name, self.ckpt_root_dir, run_id)
+            ckpt_dir, name = self.ckpt_dir, tp.get("ckpt_name", "ckpt_latest")
+        if not ckpt_utils.checkpoint_exists(ckpt_dir, name):
+            logger.warning(f"resume checkpoint {ckpt_dir}/{name} missing — starting fresh")
+            return state, 0
+        target = {
+            "step": state.step,
+            "params": state.params,
+            "batch_stats": state.batch_stats or {},
+            "ema_params": state.ema_params or {},
+            "ema_batch_stats": state.ema_batch_stats or {},
+        }
+        restored = ckpt_utils.load_checkpoint(ckpt_dir, name, target)
+        meta = ckpt_utils.load_metadata(ckpt_dir, name)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        state = state.replace(
+            step=jnp.asarray(restored["step"], jnp.int32),
+            params=restored["params"],
+            batch_stats=restored["batch_stats"] or state.batch_stats,
+            ema_params=restored["ema_params"] if state.ema_params is not None else None,
+            ema_batch_stats=restored["ema_batch_stats"] if state.ema_batch_stats is not None else None,
+        )
+        logger.info(f"Resumed from {ckpt_dir}/{name} at epoch {start_epoch}")
+        return state, start_epoch
+
+    # ----------------------------------------------------------- class APIs
+
+    @classmethod
+    def train_from_config(cls, cfg: Dict):
+        """Recipe entry (ref sg_trainer.py:234): build model + loaders + train."""
+        from super_gradients_tpu import models
+        from super_gradients_tpu.training import dataloaders
+
+        trainer = cls(experiment_name=cfg.get("experiment_name", "experiment"), ckpt_root_dir=cfg.get("ckpt_root_dir"))
+        model = models.get(
+            cfg["architecture"],
+            num_classes=cfg.get("num_classes") or (cfg.get("arch_params") or {}).get("num_classes"),
+            arch_params=cfg.get("arch_params"),
+            checkpoint_path=(cfg.get("checkpoint_params") or {}).get("checkpoint_path"),
+        )
+        train_loader = dataloaders.get(
+            cfg.get("train_dataloader"),
+            dataset_params=(cfg.get("dataset_params") or {}).get("train_dataset_params"),
+            dataloader_params=(cfg.get("dataset_params") or {}).get("train_dataloader_params"),
+        )
+        valid_loader = dataloaders.get(
+            cfg.get("val_dataloader"),
+            dataset_params=(cfg.get("dataset_params") or {}).get("val_dataset_params"),
+            dataloader_params=(cfg.get("dataset_params") or {}).get("val_dataloader_params"),
+        )
+        model = trainer.train(model, cfg.get("training_hyperparams") or {}, train_loader, valid_loader)
+        return model, trainer
+
+    @classmethod
+    def resume_experiment(cls, experiment_name: str, ckpt_root_dir: Optional[str] = None, run_id: Optional[str] = None):
+        raise NotImplementedError("resume_experiment requires a persisted recipe; use train(..., training_params={'resume': True})")
