@@ -4,6 +4,7 @@ from super_gradients_tpu.training.losses.classification_losses import (  # noqa:
     CrossEntropyLoss,
     LabelSmoothingCrossEntropyLoss,
 )
+from super_gradients_tpu.training.losses.ppyolo_loss import PPYoloELoss  # noqa: F401
 from super_gradients_tpu.common.registry import LOSSES
 
 
