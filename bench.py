@@ -33,14 +33,15 @@ def main():
     from super_gradients_tpu.ops.preprocess import standardize
 
     model = models.get(MODEL, num_classes=80, image_size=IMAGE)
-    module, variables = model.module, model.variables
+    # deploy form: QARepVGG branches fused to single 3x3 convs, bf16 conv stack
+    # (decode + NMS in fp32) — mirrors reference fuse_model=True + TRT FP16 engine
+    module, variables = model._infer_module_and_vars(fuse_model=True, bf16=True)
 
-    # bf16 compute for the conv stack: cast inputs and params copy to bf16
     def predict_program(images_u8):
-        x = standardize(images_u8)
+        x = standardize(images_u8).astype(jnp.bfloat16)
         out = module.apply(variables, x, train=False)
         return batched_nms(
-            out.pred_bboxes, out.pred_scores,
+            out.pred_bboxes.astype(jnp.float32), out.pred_scores.astype(jnp.float32),
             score_threshold=0.25, iou_threshold=0.7,
             nms_top_k=1024, max_predictions=300, mode="fast",
         )

@@ -84,9 +84,13 @@ def get(
     builder = get_architecture(model_name)
     spec: ModelSpec = builder(num_classes=num_classes, arch_params=arch_params or {}, **kwargs)
 
-    rng = jax.random.PRNGKey(seed)
-    example = jnp.zeros((1, spec.input_hw[0], spec.input_hw[1], 3), dtype=jnp.float32)
-    variables = spec.module.init(rng, example, train=False)
+    # init on CPU: param creation needs no accelerator, and compiling the init
+    # program through the TPU toolchain is pure waste (minutes on remote-compile)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        rng = jax.random.PRNGKey(seed)
+        example = jnp.zeros((1, spec.input_hw[0], spec.input_hw[1], 3), dtype=jnp.float32)
+        variables = jax.jit(spec.module.init, static_argnames=("train",))(rng, example, train=False)
 
     wrapper = spec.wrapper_cls or TASK_WRAPPERS[spec.task]
     model = wrapper(

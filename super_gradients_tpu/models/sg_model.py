@@ -84,6 +84,7 @@ class SgModel:
     def update_variables(self, variables: Dict):
         self.variables = variables
         self._predict_cache.clear()
+        self.__dict__.pop("_infer_cache", None)
 
     def num_params(self) -> int:
         return sum(int(p.size) for p in jax.tree_util.tree_leaves(self.params))
@@ -141,6 +142,40 @@ class DetectionModel(SgModel):
 
     task = "detection"
 
+    def fuse(self) -> "DetectionModel":
+        """Reparameterize every QARepVGG block to deploy form (single 3x3 conv).
+
+        Analogue of the reference's ``fuse_model=True`` predict path /
+        ``prep_model_for_conversion`` (customizable_detector.py:106). Returns a NEW
+        DetectionModel with ``config.fused='full'`` and fused params.
+        """
+        import dataclasses
+
+        from super_gradients_tpu.modules.blocks import fuse_all_qarepvgg
+
+        if self.config is None or getattr(self.config, "fused", "none") != "none":
+            return self
+        with jax.default_device(jax.devices("cpu")[0]):  # fusion math on host
+            fused_params, fused_stats = fuse_all_qarepvgg(
+                jax.device_get(self.params), jax.device_get(self.batch_stats), bn_eps=self.config.bn_eps
+            )
+        cfg = dataclasses.replace(self.config, fused="full")
+        module = type(self.module)(cfg)
+        variables = {"params": fused_params}
+        if fused_stats:
+            variables["batch_stats"] = fused_stats
+        out = DetectionModel(
+            name=self.name + "_fused",
+            module=module,
+            variables=variables,
+            num_classes=self.num_classes,
+            config=cfg,
+            processing=self._processing,
+            class_names=self._class_names,
+            input_hw=self._input_hw,
+        )
+        return out
+
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         # defaults mirror CustomizableDetector (customizable_detector.py:84-92)
@@ -151,18 +186,38 @@ class DetectionModel(SgModel):
         self._default_multi_label_per_box = True
         self._default_class_agnostic_nms = False
 
-    def _predict_program(self, conf, iou, nms_top_k, max_predictions, multi_label, class_agnostic, nms_mode):
+    def _infer_module_and_vars(self, fuse_model: bool, bf16: bool):
+        """Deploy form of the net: optionally QARepVGG-fused and bf16-cast.
+
+        Mirrors the reference predict defaults (fuse_model=True, fp16=True on CUDA —
+        bf16 is the TPU analogue; decode/NMS stay fp32 inside the model heads).
+        """
+        key = (fuse_model, bf16)
+        cache = self.__dict__.setdefault("_infer_cache", {})
+        if key not in cache:
+            src = self.fuse() if fuse_model else self
+            variables = src.variables
+            if bf16:
+                variables = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                    variables,
+                )
+            cache[key] = (src.module, variables)
+        return cache[key]
+
+    def _predict_program(self, conf, iou, nms_top_k, max_predictions, multi_label, class_agnostic, nms_mode,
+                         fuse_model=True, bf16=True):
         """One jitted program: [B,H,W,3] float (0..255-standardized already) → NMSOutput."""
 
-        variables = self.variables
-        module = self.module
+        module, variables = self._infer_module_and_vars(fuse_model, bf16)
+        in_dtype = jnp.bfloat16 if bf16 else jnp.float32
 
         @jax.jit
         def program(images: jnp.ndarray) -> NMSOutput:
-            outputs = module.apply(variables, images, train=False)
+            outputs = module.apply(variables, images.astype(in_dtype), train=False)
             return batched_nms(
-                outputs.pred_bboxes,
-                outputs.pred_scores,
+                outputs.pred_bboxes.astype(jnp.float32),
+                outputs.pred_scores.astype(jnp.float32),
                 score_threshold=conf,
                 iou_threshold=iou,
                 nms_top_k=nms_top_k,
@@ -185,6 +240,8 @@ class DetectionModel(SgModel):
         multi_label_per_box: Optional[bool] = None,
         class_agnostic_nms: Optional[bool] = None,
         nms_mode: str = "exact",
+        fuse_model: bool = True,
+        bf16: bool = True,
     ) -> ImagesPredictions:
         """Run the fused predict pipeline (ref ``model.predict``,
         customizable_detector.py:281-323 + pipelines.py:102-236)."""
@@ -197,10 +254,10 @@ class DetectionModel(SgModel):
 
         image_list, batches, metas = self._prep_host_batches(images, batch_size)
 
-        key = ("det", conf, iou, nms_top_k, max_predictions, multi_label, class_agnostic, nms_mode)
+        key = ("det", conf, iou, nms_top_k, max_predictions, multi_label, class_agnostic, nms_mode, fuse_model, bf16)
         if key not in self._predict_cache:
             self._predict_cache[key] = self._predict_program(
-                conf, iou, nms_top_k, max_predictions, multi_label, class_agnostic, nms_mode
+                conf, iou, nms_top_k, max_predictions, multi_label, class_agnostic, nms_mode, fuse_model, bf16
             )
         program = self._predict_cache[key]
 
@@ -235,17 +292,17 @@ class DetectionModel(SgModel):
 
     def predict_batch_tensor(self, images: jnp.ndarray, **kwargs) -> NMSOutput:
         """Raw fused path for uniform pre-sized input [B,H,W,3] (bench/serving)."""
-        conf = kwargs.get("conf", self._default_nms_conf)
-        iou = kwargs.get("iou", self._default_nms_iou)
         key = (
             "det",
-            conf,
-            iou,
+            kwargs.get("conf", self._default_nms_conf),
+            kwargs.get("iou", self._default_nms_iou),
             kwargs.get("nms_top_k", self._default_nms_top_k),
             kwargs.get("max_predictions", self._default_max_predictions),
             kwargs.get("multi_label_per_box", self._default_multi_label_per_box),
             kwargs.get("class_agnostic_nms", self._default_class_agnostic_nms),
             kwargs.get("nms_mode", "exact"),
+            kwargs.get("fuse_model", True),
+            kwargs.get("bf16", True),
         )
         if key not in self._predict_cache:
             self._predict_cache[key] = self._predict_program(*key[1:])

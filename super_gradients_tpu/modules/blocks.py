@@ -391,3 +391,51 @@ def fuse_repvgg_params(block_params: dict, block_stats: dict, cfg: RepVGGBlock) 
         )
         kernel, bias = kernel + kid, bias + bid
     return {"rbr_reparam": {"kernel": kernel, "bias": bias}}
+
+
+def fuse_all_qarepvgg(params: dict, batch_stats: dict, bn_eps: float) -> Tuple[dict, dict]:
+    """Walk a variables tree and fully fuse every QARepVGG block found.
+
+    A QARepVGG block subtree is recognized by its ``branch_3x3_conv`` key. Block
+    config is inferred from the params themselves: ``use_residual`` iff
+    in_channels == out_channels (holds for every YOLO-NAS placement — residual
+    blocks are exactly the channel-preserving stride-1 ones), ``use_alpha`` iff an
+    ``alpha`` leaf exists, ``use_post_bn`` iff ``post_bn`` exists. Returns
+    (fused_params, fused_batch_stats) where fused blocks collapse to
+    ``rbr_reparam`` and their BN stats are consumed (deploy form — the analogue of
+    reference ``fuse_repvgg_blocks_residual_branches`` / QARepVGG ``full_fusion``).
+    """
+
+    def walk(p: dict, s: dict) -> Tuple[dict, dict]:
+        if "branch_3x3_conv" in p:
+            k = p["branch_3x3_conv"]["kernel"]
+            cfg = QARepVGGBlock(
+                out_channels=int(k.shape[3]),
+                use_residual=int(k.shape[2]) == int(k.shape[3]),
+                use_alpha="alpha" in p,
+                use_post_bn="post_bn" in p,
+                bn_eps=bn_eps,
+            )
+            _, _, full = fuse_qarepvgg_params(p, s, cfg)
+            return full, {}
+        new_p, new_s = {}, {}
+        for key, val in p.items():
+            if isinstance(val, dict):
+                sub_s = s.get(key, {}) if isinstance(s, dict) else {}
+                fp, fs = walk(val, sub_s)
+                new_p[key] = fp
+                if fs:
+                    new_s[key] = fs
+            else:
+                new_p[key] = val
+        # keep BN stats of non-QARepVGG modules untouched
+        if isinstance(s, dict):
+            for key, val in s.items():
+                if key not in new_s and key not in p:
+                    new_s[key] = val
+                elif key in p and isinstance(p[key], dict) and "branch_3x3_conv" not in p[key]:
+                    if key not in new_s:
+                        new_s[key] = val
+        return new_p, new_s
+
+    return walk(params, batch_stats)

@@ -87,14 +87,31 @@ def _single_image_nms(
     multi_label: bool,
     class_agnostic: bool,
     mode: str,
+    prefilter: str = "two_stage",
 ) -> NMSOutput:
     n, c = scores.shape
     if multi_label:
-        flat = scores.reshape(-1)  # [N*C]
-        k = min(nms_top_k, flat.shape[0])
-        top_scores, top_idx = jax.lax.top_k(flat, k)
-        anchor_idx = top_idx // c
-        cls_idx = top_idx % c
+        if prefilter == "two_stage" and n > nms_top_k:
+            # A flat top-k over N*C is a huge sort (~42 ms for 672k elements on
+            # v5e). Two-stage: pick top anchors by per-anchor max first, then a
+            # flat top-k within them (K*C elements). A candidate survives the
+            # flat stage only if it beats the K-th best OVERALL score, and any
+            # such score's anchor-max is >= it, so the anchor stage keeps every
+            # anchor that could contribute unless >K anchors each hold higher
+            # maxima — in which case those fill the quota anyway.
+            k = min(nms_top_k, n)
+            anchor_best = jnp.max(scores, axis=-1)
+            _, aidx = jax.lax.top_k(anchor_best, k)
+            sub = scores[aidx]  # [k, C]
+            top_scores, sidx = jax.lax.top_k(sub.reshape(-1), k)
+            anchor_idx = aidx[sidx // c]
+            cls_idx = sidx % c
+        else:
+            flat = scores.reshape(-1)  # [N*C]
+            k = min(nms_top_k, flat.shape[0])
+            top_scores, top_idx = jax.lax.top_k(flat, k)
+            anchor_idx = top_idx // c
+            cls_idx = top_idx % c
     else:
         cls_idx_all = jnp.argmax(scores, axis=-1)
         best = jnp.max(scores, axis=-1)
@@ -153,14 +170,17 @@ def batched_nms(
     multi_label: bool = True,
     class_agnostic: bool = False,
     mode: str = "exact",
+    prefilter: str = "two_stage",
 ) -> NMSOutput:
     """Batched class-aware NMS with fixed output shapes.
 
     Equivalent surface to ``PPYoloEPostPredictionCallback`` + torchvision
     ``batched_nms`` (reference ``post_prediction_callback.py:43-110``) but with the
     per-image Python loop replaced by ``vmap`` and static shapes throughout.
+    ``prefilter``: "two_stage" (fast candidate selection, default) or "flat"
+    (single top-k over N*C, reference-exact candidate set).
     """
     fn = lambda b, s: _single_image_nms(
-        b, s, score_threshold, iou_threshold, nms_top_k, max_predictions, multi_label, class_agnostic, mode
+        b, s, score_threshold, iou_threshold, nms_top_k, max_predictions, multi_label, class_agnostic, mode, prefilter
     )
     return jax.vmap(fn)(boxes, scores)

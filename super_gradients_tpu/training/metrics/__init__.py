@@ -9,12 +9,18 @@ states live on the mesh and the final compute sums replicated counters.
 
 from super_gradients_tpu.training.metrics.classification import Accuracy, Top5, ToyTestClassificationMetric  # noqa: F401
 from super_gradients_tpu.training.metrics.base import Metric, MetricCollection  # noqa: F401
+from super_gradients_tpu.training.metrics.detection import (  # noqa: F401
+    DetectionMetrics,
+    DetectionMetrics_050,
+    DetectionMetrics_050_095,
+    DetectionMetrics_075,
+)
 from super_gradients_tpu.common.registry import METRICS
 
 
 def get_metric(name_or_metric):
-    if isinstance(name_or_metric, str):
-        if name_or_metric not in METRICS:
-            raise KeyError(f"Unknown metric `{name_or_metric}`; registered: {sorted(METRICS)}")
-        return METRICS[name_or_metric]()
+    from super_gradients_tpu.common.factories import BaseFactory
+
+    if isinstance(name_or_metric, (str, dict)):
+        return BaseFactory(METRICS).get(name_or_metric)
     return name_or_metric

@@ -199,11 +199,12 @@ class Trainer:
 
         valid_metrics = MetricCollection([get_metric(m) for m in (tp.get("valid_metrics_list") or [])])
 
-        def eval_step(variables, metric_states, inputs, targets):
+        def eval_step(variables, dev_metric_states, inputs, targets):
             out = module.apply(variables, inputs, train=False)
-            new_states = valid_metrics.update_device(metric_states, out, targets)
+            new_dev = valid_metrics.update_device_only(dev_metric_states, out, targets)
+            host_aux = valid_metrics.preprocess_device(out, targets)
             loss, _ = criterion(out, targets)
-            return new_states, loss, out
+            return new_dev, host_aux, loss
 
         eval_step = jax.jit(eval_step)
 
@@ -269,15 +270,18 @@ class Trainer:
                     eval_vars = self._eval_variables(state, use_ema, has_bn)
                     mstates = valid_metrics.init()
                     vloss_sum, vcount = 0.0, 0
-                    host_states = mstates if valid_metrics.has_host_metrics() else None
                     for vidx, batch in enumerate(valid_loader):
                         if max_valid_batches and vidx >= max_valid_batches:
                             break
                         inputs = jax.device_put(jnp.asarray(batch[0]), data_sharding)
                         targets = jax.device_put(jnp.asarray(batch[1]), data_sharding)
-                        mstates, vloss, out = eval_step(eval_vars, mstates, inputs, targets)
+                        dev_states = valid_metrics.device_states(mstates)
+                        new_dev, host_aux, vloss = eval_step(eval_vars, dev_states, inputs, targets)
+                        mstates = valid_metrics.merge_device_states(mstates, new_dev)
                         if valid_metrics.has_host_metrics():
-                            mstates = valid_metrics.update_host(mstates, jax.device_get(out), np.asarray(batch[1]))
+                            mstates = valid_metrics.update_host(
+                                mstates, jax.device_get(host_aux), np.asarray(batch[1])
+                            )
                         vloss_sum += float(vloss)
                         vcount += 1
                         handler.on_validation_batch_end(context)
