@@ -121,3 +121,138 @@ def yolo_nas_l(**kw):
     from super_gradients_tpu.models.detection.yolo_nas import yolo_nas_l_config
 
     return _yolo_nas_spec(yolo_nas_l_config, **kw)
+
+
+# ------------------------------------------------------------ Segmentation zoo
+
+
+def _seg_spec(module, nc, input_hw=(512, 1024), cfg=None) -> ModelSpec:
+    from super_gradients_tpu.inference.processing import (
+        ClassificationResize,
+        ComposeProcessing,
+        NormalizeImage,
+        StandardizeImage,
+    )
+    from super_gradients_tpu.models.class_names import CITYSCAPES_CLASSES_LIST
+
+    return ModelSpec(
+        module=module,
+        task="segmentation",
+        num_classes=nc,
+        input_hw=input_hw,
+        config=cfg,
+        processing=ComposeProcessing(
+            [
+                ClassificationResize(input_hw[0]) if input_hw[0] == input_hw[1] else _SegResize(input_hw),
+                StandardizeImage(255.0),
+                NormalizeImage(mean=[0.485, 0.456, 0.406], std=[0.229, 0.224, 0.225]),
+            ]
+        ),
+        class_names=CITYSCAPES_CLASSES_LIST if nc == 19 else None,
+    )
+
+
+class _SegResize:
+    """Resize to fixed (h, w) for segmentation predict."""
+
+    def __init__(self, output_hw):
+        self.output_hw = tuple(output_hw)
+
+    def preprocess_image(self, image):
+        from super_gradients_tpu.inference.processing import ProcessingMetadata, _resize_bilinear
+
+        h, w = image.shape[:2]
+        return _resize_bilinear(image, self.output_hw), ProcessingMetadata(original_hw=(h, w))
+
+    def postprocess_boxes(self, boxes, meta):
+        return boxes
+
+    def postprocess_keypoints(self, kpts, meta):
+        return kpts
+
+    def infer_image_input_shape(self):
+        return self.output_hw
+
+
+def _stdc_seg(cfg_name, num_classes=None, arch_params=None, input_hw=(512, 1024), **kw):
+    import dataclasses
+
+    from super_gradients_tpu.models.segmentation.stdc import STDC1_CFG, STDC2_CFG, STDCSegCfg, STDCSegmentation
+
+    arch_params = arch_params or {}
+    nc = num_classes or arch_params.get("num_classes", 19)
+    backbone = STDC1_CFG if cfg_name == "stdc1" else STDC2_CFG
+    cfg = STDCSegCfg(backbone=backbone, num_classes=nc, use_aux_heads=arch_params.get("use_aux_heads", True))
+    return _seg_spec(STDCSegmentation(cfg), nc, tuple(input_hw), cfg)
+
+
+@register_model("stdc1_seg")
+@register_model("stdc1_seg50")
+@register_model("stdc1_seg75")
+def stdc1_seg(**kw):
+    return _stdc_seg("stdc1", **kw)
+
+
+@register_model("stdc2_seg")
+@register_model("stdc2_seg50")
+@register_model("stdc2_seg75")
+def stdc2_seg(**kw):
+    return _stdc_seg("stdc2", **kw)
+
+
+def _ppliteseg(variant, num_classes=None, arch_params=None, input_hw=(512, 1024), **kw):
+    import dataclasses
+
+    from super_gradients_tpu.models.segmentation.ppliteseg import PP_LITE_B_CFG, PP_LITE_T_CFG, PPLiteSeg
+
+    arch_params = arch_params or {}
+    nc = num_classes or arch_params.get("num_classes", 19)
+    base = PP_LITE_T_CFG if variant == "t" else PP_LITE_B_CFG
+    cfg = dataclasses.replace(base, num_classes=nc, use_aux_heads=arch_params.get("use_aux_heads", False))
+    return _seg_spec(PPLiteSeg(cfg), nc, tuple(input_hw), cfg)
+
+
+@register_model("pp_lite_t_seg")
+@register_model("pp_lite_t_seg50")
+@register_model("pp_lite_t_seg75")
+def pp_lite_t_seg(**kw):
+    return _ppliteseg("t", **kw)
+
+
+@register_model("pp_lite_b_seg")
+@register_model("pp_lite_b_seg50")
+@register_model("pp_lite_b_seg75")
+def pp_lite_b_seg(**kw):
+    return _ppliteseg("b", **kw)
+
+
+def _ddrnet(cfg, num_classes=None, arch_params=None, input_hw=(512, 1024), **kw):
+    import dataclasses
+
+    from super_gradients_tpu.models.segmentation.ddrnet import DDRNet
+
+    arch_params = arch_params or {}
+    nc = num_classes or arch_params.get("num_classes", 19)
+    cfg = dataclasses.replace(cfg, num_classes=nc, use_aux_heads=arch_params.get("use_aux_heads", False))
+    return _seg_spec(DDRNet(cfg), nc, tuple(input_hw), cfg)
+
+
+@register_model("ddrnet_23")
+def ddrnet_23(**kw):
+    from super_gradients_tpu.models.segmentation.ddrnet import DDRNET_23_CFG
+
+    return _ddrnet(DDRNET_23_CFG, **kw)
+
+
+@register_model("ddrnet_23_slim")
+def ddrnet_23_slim(**kw):
+    from super_gradients_tpu.models.segmentation.ddrnet import DDRNET_23_SLIM_CFG
+
+    return _ddrnet(DDRNET_23_SLIM_CFG, **kw)
+
+
+@register_model("ddrnet_39")
+def ddrnet_39(**kw):
+    from super_gradients_tpu.models.segmentation.ddrnet import DDRNET_39_CFG
+
+    return _ddrnet(DDRNET_39_CFG, **kw)

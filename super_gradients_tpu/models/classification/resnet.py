@@ -22,6 +22,7 @@ class BasicResNetBlock(nn.Module):
     expansion: int = 1
     bn_eps: float = 1e-5
     bn_momentum: float = 0.1
+    final_relu: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -37,7 +38,8 @@ class BasicResNetBlock(nn.Module):
                 self.planes * self.expansion, (1, 1), strides=(self.stride, self.stride), use_bias=False, name="shortcut_conv"
             )(x)
             x = bn("shortcut_bn")(x)
-        return nn.relu(out + x)
+        out = out + x
+        return nn.relu(out) if self.final_relu else out
 
 
 class BottleneckBlock(nn.Module):
@@ -46,6 +48,7 @@ class BottleneckBlock(nn.Module):
     expansion: int = 4
     bn_eps: float = 1e-5
     bn_momentum: float = 0.1
+    final_relu: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -63,7 +66,8 @@ class BottleneckBlock(nn.Module):
                 self.planes * self.expansion, (1, 1), strides=(self.stride, self.stride), use_bias=False, name="shortcut_conv"
             )(x)
             x = bn("shortcut_bn")(x)
-        return nn.relu(out + x)
+        out = out + x
+        return nn.relu(out) if self.final_relu else out
 
 
 class ResNet(nn.Module):

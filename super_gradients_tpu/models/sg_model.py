@@ -74,12 +74,14 @@ class SgModel:
     def __call__(self, x, train: bool = False, **kwargs):
         return self.apply(x, train=train, **kwargs)
 
-    def apply(self, x, train: bool = False, mutable: Optional[Sequence[str]] = None, **kwargs):
+    def apply(self, x, train: bool = False, mutable: Optional[Sequence[str]] = None, rngs=None, **kwargs):
         if train and mutable is None:
             mutable = ["batch_stats"] if "batch_stats" in self.variables else []
+        if train and rngs is None:
+            rngs = {"dropout": jax.random.PRNGKey(0)}
         if mutable:
-            return self.module.apply(self.variables, x, train=train, mutable=mutable, **kwargs)
-        return self.module.apply(self.variables, x, train=train, **kwargs)
+            return self.module.apply(self.variables, x, train=train, mutable=mutable, rngs=rngs, **kwargs)
+        return self.module.apply(self.variables, x, train=train, rngs=rngs, **kwargs)
 
     def update_variables(self, variables: Dict):
         self.variables = variables

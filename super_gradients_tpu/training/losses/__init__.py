@@ -5,6 +5,13 @@ from super_gradients_tpu.training.losses.classification_losses import (  # noqa:
     LabelSmoothingCrossEntropyLoss,
 )
 from super_gradients_tpu.training.losses.ppyolo_loss import PPYoloELoss  # noqa: F401
+from super_gradients_tpu.training.losses.segmentation_losses import (  # noqa: F401
+    DiceCEEdgeLoss,
+    DiceLoss,
+    OhemCELoss,
+    STDCLoss,
+    SegCrossEntropyLoss,
+)
 from super_gradients_tpu.common.registry import LOSSES
 
 

@@ -1,0 +1,201 @@
+"""Segmentation losses.
+
+Reference: ``training/losses/`` — DiceLoss/BCE-Dice (dice_loss.py), OhemCELoss
+(ohem_ce_loss.py:102), STDC detail loss (stdc_loss.py, laplacian boundary targets +
+BCE+Dice on the detail head), DiceCEEdgeLoss (DDRNet). All are jit-pure and
+mask-based (ignore_index pixels contribute zero weight) — no boolean indexing.
+
+Targets: [B, H, W] int32 class ids; ``ignore_index`` (default 255) marks void.
+Model outputs: [B, H, W, C] logits, or tuples (main, *aux) in training mode.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from super_gradients_tpu.common.registry import register_loss
+
+
+def _valid_mask(targets: jnp.ndarray, ignore_index: int) -> jnp.ndarray:
+    return (targets != ignore_index).astype(jnp.float32)
+
+
+def pixel_cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray, ignore_index: int = 255) -> jnp.ndarray:
+    """Per-pixel CE with ignore mask: [B, H, W]."""
+    num_classes = logits.shape[-1]
+    safe_t = jnp.where(targets == ignore_index, 0, targets)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ce = -jnp.take_along_axis(logp, safe_t[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    return ce * _valid_mask(targets, ignore_index)
+
+
+@register_loss("SegCrossEntropyLoss")
+class SegCrossEntropyLoss:
+    def __init__(self, ignore_index: int = 255):
+        self.ignore_index = ignore_index
+
+    def __call__(self, outputs, targets) -> Tuple[jnp.ndarray, Dict]:
+        logits = outputs[0] if isinstance(outputs, (tuple, list)) else outputs
+        ce = pixel_cross_entropy(logits, targets, self.ignore_index)
+        n = jnp.maximum(_valid_mask(targets, self.ignore_index).sum(), 1.0)
+        loss = ce.sum() / n
+        return loss, {"SegCrossEntropyLoss": loss}
+
+
+@register_loss("OhemCELoss")
+class OhemCELoss:
+    """Online hard-example-mining CE (ref ohem_ce_loss.py:102).
+
+    Keeps the hardest pixels: those with loss above ``threshold``-derived value,
+    but at least ``mining_percent`` of all valid pixels.
+    """
+
+    def __init__(self, threshold: float = 0.7, mining_percent: float = 0.1, ignore_lb: int = 255):
+        self.thresh = -jnp.log(jnp.asarray(threshold))
+        self.mining_percent = mining_percent
+        self.ignore_lb = ignore_lb
+
+    def per_image(self, ce_flat: jnp.ndarray, valid_flat: jnp.ndarray) -> jnp.ndarray:
+        n_valid = jnp.maximum(valid_flat.sum(), 1.0)
+        n_min = jnp.maximum((n_valid * self.mining_percent).astype(jnp.int32), 1)
+        sorted_ce = jnp.sort(ce_flat * valid_flat)[::-1]  # desc, invalid -> 0 at the end
+        idx = jnp.arange(sorted_ce.shape[0])
+        keep = (sorted_ce > self.thresh) | (idx < n_min)
+        kept = sorted_ce * keep
+        return kept.sum() / jnp.maximum(keep.sum(), 1.0)
+
+    def __call__(self, outputs, targets) -> Tuple[jnp.ndarray, Dict]:
+        logits = outputs[0] if isinstance(outputs, (tuple, list)) else outputs
+        ce = pixel_cross_entropy(logits, targets, self.ignore_lb)
+        b = ce.shape[0]
+        loss = jax.vmap(self.per_image)(ce.reshape(b, -1), _valid_mask(targets, self.ignore_lb).reshape(b, -1)).mean()
+        return loss, {"OhemCELoss": loss}
+
+
+def soft_dice(logits: jnp.ndarray, targets: jnp.ndarray, ignore_index: int = 255, eps: float = 1e-5) -> jnp.ndarray:
+    """Soft dice loss over classes (binary per-class formulation)."""
+    num_classes = logits.shape[-1]
+    valid = _valid_mask(targets, ignore_index)[..., None]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1) * valid
+    onehot = jax.nn.one_hot(jnp.where(targets == ignore_index, 0, targets), num_classes) * valid
+    inter = jnp.sum(probs * onehot, axis=(1, 2))
+    denom = jnp.sum(probs, axis=(1, 2)) + jnp.sum(onehot, axis=(1, 2))
+    dice = (2 * inter + eps) / (denom + eps)
+    return 1.0 - dice.mean()
+
+
+@register_loss("DiceLoss")
+class DiceLoss:
+    def __init__(self, ignore_index: int = 255):
+        self.ignore_index = ignore_index
+
+    def __call__(self, outputs, targets):
+        logits = outputs[0] if isinstance(outputs, (tuple, list)) else outputs
+        loss = soft_dice(logits, targets, self.ignore_index)
+        return loss, {"DiceLoss": loss}
+
+
+@register_loss("BinaryDiceLoss")
+class BinaryDiceLoss:
+    def __call__(self, logits, targets_binary):
+        p = jax.nn.sigmoid(logits.astype(jnp.float32))[..., 0]
+        inter = jnp.sum(p * targets_binary, axis=(1, 2))
+        denom = jnp.sum(p, axis=(1, 2)) + jnp.sum(targets_binary, axis=(1, 2))
+        loss = 1.0 - ((2 * inter + 1.0) / (denom + 1.0)).mean()
+        return loss, {"BinaryDiceLoss": loss}
+
+
+def detail_target(targets: jnp.ndarray, ignore_index: int = 255) -> jnp.ndarray:
+    """Boundary (detail) ground truth via multi-scale laplacian of the seg mask
+    (ref stdc_loss.py detail-aggregate module: laplacian at strides 1/2/4 fused
+    with weights [0.6, 0.3, 0.1], binarized at 0.1)."""
+    t = jnp.where(targets == ignore_index, 0, targets).astype(jnp.float32)[..., None]  # [B,H,W,1]
+    lap = jnp.asarray([[-1.0, -1, -1], [-1, 8, -1], [-1, -1, -1]]).reshape(3, 3, 1, 1)
+
+    def edge(x, stride):
+        y = jax.lax.conv_general_dilated(
+            x, lap, window_strides=(stride, stride), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = jnp.clip(jnp.abs(y), 0, 1.0)
+        if stride > 1:
+            b, h, w, c = x.shape
+            y = jax.image.resize(y, (b, h, w, c), method="nearest")
+        return (y > 0.1).astype(jnp.float32)
+
+    fused = 0.6 * edge(t, 1) + 0.3 * edge(t, 2) + 0.1 * edge(t, 4)
+    return (fused > 0.1).astype(jnp.float32)[..., 0]  # [B, H, W]
+
+
+@register_loss("STDCLoss")
+class STDCLoss:
+    """Composite STDC training loss (ref stdc_loss.py): OHEM-CE on main + aux heads,
+    BCE + dice on the detail head vs laplacian boundary targets."""
+
+    def __init__(
+        self,
+        num_classes: int = 19,
+        ignore_index: int = 255,
+        threshold: float = 0.7,
+        mining_percent: float = 0.1,
+        weights: Sequence[float] = (1.0, 1.0, 1.0),  # main, aux32, aux16
+        detail_weights: Sequence[float] = (1.0, 1.0),  # bce, dice
+    ):
+        self.ignore_index = ignore_index
+        self.ohem = OhemCELoss(threshold, mining_percent, ignore_index)
+        self.weights = tuple(weights)
+        self.detail_weights = tuple(detail_weights)
+
+    def __call__(self, outputs, targets):
+        if not isinstance(outputs, (tuple, list)):
+            loss, _ = self.ohem(outputs, targets)
+            return loss, {"STDCLoss/main": loss}
+        main, aux32, aux16, detail8 = outputs
+        l_main, _ = self.ohem(main, targets)
+        l_a32, _ = self.ohem(aux32, targets)
+        l_a16, _ = self.ohem(aux16, targets)
+
+        dt = detail_target(targets, self.ignore_index)
+        dlogit = detail8[..., 0]
+        bce = jnp.maximum(dlogit, 0) - dlogit * dt + jnp.log1p(jnp.exp(-jnp.abs(dlogit)))
+        l_bce = bce.mean()
+        l_dice, _ = BinaryDiceLoss()(detail8, dt)
+
+        loss = (
+            self.weights[0] * l_main
+            + self.weights[1] * l_a32
+            + self.weights[2] * l_a16
+            + self.detail_weights[0] * l_bce
+            + self.detail_weights[1] * l_dice
+        )
+        return loss, {"loss_main": l_main, "loss_aux": l_a32 + l_a16, "loss_detail": l_bce + l_dice}
+
+
+@register_loss("DiceCEEdgeLoss")
+class DiceCEEdgeLoss:
+    """DDRNet/general aux loss: CE+dice on main, CE on aux heads (ref dice_ce_edge_loss.py)."""
+
+    def __init__(self, num_classes: int = 19, ignore_index: int = 255, num_aux_heads: int = 1,
+                 ce_edge_weights: Sequence[float] = (0.5, 0.5), weights: Sequence[float] = (1.0,),
+                 aux_weights: Sequence[float] = (0.4,)):
+        self.ignore_index = ignore_index
+        self.aux_weights = tuple(aux_weights)
+        self.ce = SegCrossEntropyLoss(ignore_index)
+
+    def __call__(self, outputs, targets):
+        if not isinstance(outputs, (tuple, list)):
+            outputs = (outputs,)
+        main = outputs[0]
+        l_main_ce, _ = self.ce(main, targets)
+        l_dice = soft_dice(main, targets, self.ignore_index)
+        loss = l_main_ce + l_dice
+        aux_total = 0.0
+        for i, aux in enumerate(outputs[1:]):
+            w = self.aux_weights[i] if i < len(self.aux_weights) else self.aux_weights[-1]
+            l_aux, _ = self.ce(aux, targets)
+            aux_total = aux_total + w * l_aux
+        loss = loss + aux_total
+        return loss, {"loss_ce": l_main_ce, "loss_dice": l_dice}

@@ -151,15 +151,19 @@ class Trainer:
         module = model.module
         has_bn = bool(batch_stats)
 
+        base_rng = jax.random.PRNGKey(int(tp.get("seed") or 42))
+
         def train_step(st: TrainState, inputs, targets):
+            rngs = {"dropout": jax.random.fold_in(base_rng, st.step)}
+
             def loss_fn(p):
                 variables = {"params": p}
                 if has_bn:
                     variables["batch_stats"] = st.batch_stats
-                    out, mut = module.apply(variables, inputs, train=True, mutable=["batch_stats"])
+                    out, mut = module.apply(variables, inputs, train=True, mutable=["batch_stats"], rngs=rngs)
                     new_bs = mut["batch_stats"]
                 else:
-                    out = module.apply(variables, inputs, train=True)
+                    out = module.apply(variables, inputs, train=True, rngs=rngs)
                     new_bs = st.batch_stats
                 loss, aux = criterion(out, targets)
                 return loss, (aux, new_bs)
