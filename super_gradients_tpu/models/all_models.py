@@ -256,3 +256,57 @@ def ddrnet_39(**kw):
     from super_gradients_tpu.models.segmentation.ddrnet import DDRNET_39_CFG
 
     return _ddrnet(DDRNET_39_CFG, **kw)
+
+
+# ----------------------------------------------------------------- Pose zoo
+
+
+def _pose_spec(config_fn, num_classes=None, arch_params=None, image_size: int = 640, **kw) -> ModelSpec:
+    from super_gradients_tpu.models.class_names import COCO_POSE_EDGE_LINKS, COCO_POSE_KEYPOINTS
+    from super_gradients_tpu.models.pose.yolo_nas_pose import YoloNASPose
+    from super_gradients_tpu.models.sg_model import PoseEstimationModel
+
+    arch_params = arch_params or {}
+    nj = num_classes or arch_params.get("num_joints", 17)
+    cfg = config_fn(num_joints=nj)
+    import functools
+
+    wrapper = functools.partial(PoseEstimationModel, edge_links=COCO_POSE_EDGE_LINKS if nj == 17 else None)
+    return ModelSpec(
+        module=YoloNASPose(cfg),
+        task="pose_estimation",
+        num_classes=nj,
+        input_hw=(image_size, image_size),
+        config=cfg,
+        processing=default_yolo_nas_coco_processing(image_size),
+        class_names=COCO_POSE_KEYPOINTS if nj == 17 else None,
+        wrapper_cls=wrapper,
+    )
+
+
+@register_model("yolo_nas_pose_n")
+def yolo_nas_pose_n(**kw):
+    from super_gradients_tpu.models.pose.yolo_nas_pose import yolo_nas_pose_n_config
+
+    return _pose_spec(yolo_nas_pose_n_config, **kw)
+
+
+@register_model("yolo_nas_pose_s")
+def yolo_nas_pose_s(**kw):
+    from super_gradients_tpu.models.pose.yolo_nas_pose import yolo_nas_pose_s_config
+
+    return _pose_spec(yolo_nas_pose_s_config, **kw)
+
+
+@register_model("yolo_nas_pose_m")
+def yolo_nas_pose_m(**kw):
+    from super_gradients_tpu.models.pose.yolo_nas_pose import yolo_nas_pose_m_config
+
+    return _pose_spec(yolo_nas_pose_m_config, **kw)
+
+
+@register_model("yolo_nas_pose_l")
+def yolo_nas_pose_l(**kw):
+    from super_gradients_tpu.models.pose.yolo_nas_pose import yolo_nas_pose_l_config
+
+    return _pose_spec(yolo_nas_pose_l_config, **kw)

@@ -36,6 +36,15 @@ TASK_WRAPPERS = {
 }
 
 
+def _pose_wrapper(*args, **kwargs):
+    from super_gradients_tpu.models.sg_model import PoseEstimationModel
+
+    return PoseEstimationModel(*args, **kwargs)
+
+
+TASK_WRAPPERS["pose_estimation"] = _pose_wrapper
+
+
 @dataclasses.dataclass
 class ModelSpec:
     """What an architecture builder returns (module + metadata)."""

@@ -377,3 +377,93 @@ class SegmentationModel(SgModel):
                 )
                 img_idx += 1
         return ImagesPredictions(preds)
+
+
+class PoseEstimationModel(SgModel):
+    """Pose task wrapper: fused forward+decode+pose-NMS predict program
+    (ref PoseEstimationPipeline, pipelines.py:398)."""
+
+    task = "pose_estimation"
+
+    def __init__(self, *args, edge_links=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._edge_links = edge_links
+        self._default_nms_conf = 0.5
+        self._default_nms_iou = 0.7
+        self._default_pre_nms_max_predictions = 1024
+        self._default_post_nms_max_predictions = 30
+
+    def predict(
+        self,
+        images,
+        conf: Optional[float] = None,
+        iou: Optional[float] = None,
+        batch_size: int = 8,
+        max_predictions: Optional[int] = None,
+        pre_nms_max_predictions: Optional[int] = None,
+        nms_mode: str = "exact",
+        bf16: bool = True,
+    ) -> ImagesPredictions:
+        from super_gradients_tpu.ops.nms import batched_pose_nms
+
+        conf = conf if conf is not None else self._default_nms_conf
+        iou = iou if iou is not None else self._default_nms_iou
+        max_predictions = max_predictions or self._default_post_nms_max_predictions
+        nms_top_k = pre_nms_max_predictions or self._default_pre_nms_max_predictions
+
+        image_list, batches, metas = self._prep_host_batches(images, batch_size)
+        key = ("pose", conf, iou, nms_top_k, max_predictions, nms_mode, bf16)
+        if key not in self._predict_cache:
+            variables = self.variables
+            if bf16:
+                variables = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                    variables,
+                )
+            module = self.module
+            in_dtype = jnp.bfloat16 if bf16 else jnp.float32
+
+            @jax.jit
+            def program(imgs):
+                out = module.apply(variables, imgs.astype(in_dtype), train=False)
+                return batched_pose_nms(
+                    out.pred_bboxes.astype(jnp.float32),
+                    out.pred_scores.astype(jnp.float32),
+                    out.pred_pose_coords.astype(jnp.float32),
+                    out.pred_pose_scores.astype(jnp.float32),
+                    score_threshold=conf,
+                    iou_threshold=iou,
+                    nms_top_k=nms_top_k,
+                    max_predictions=max_predictions,
+                    mode=nms_mode,
+                )
+
+            self._predict_cache[key] = program
+        program = self._predict_cache[key]
+
+        preds: List[PoseEstimationPrediction] = []
+        img_idx = 0
+        for batch, n_valid in batches:
+            out = program(jnp.asarray(batch))
+            poses = np.asarray(out.poses)
+            boxes = np.asarray(out.boxes)
+            scores = np.asarray(out.scores)
+            nums = np.asarray(out.num_detections)
+            for j in range(n_valid):
+                n = int(nums[j])
+                pj, bj = poses[j, :n].copy(), boxes[j, :n].copy()
+                meta = metas[img_idx]
+                if meta is not None and self._processing is not None:
+                    pj = self._processing.postprocess_keypoints(pj, meta)
+                    bj = self._processing.postprocess_boxes(bj, meta)
+                preds.append(
+                    PoseEstimationPrediction(
+                        poses=pj,
+                        scores=scores[j, :n],
+                        bboxes_xyxy=bj,
+                        edge_links=self._edge_links,
+                        image=image_list[img_idx],
+                    )
+                )
+                img_idx += 1
+        return ImagesPredictions(preds)

@@ -184,3 +184,66 @@ def batched_nms(
         b, s, score_threshold, iou_threshold, nms_top_k, max_predictions, multi_label, class_agnostic, mode, prefilter
     )
     return jax.vmap(fn)(boxes, scores)
+
+
+class PoseNMSOutput(NamedTuple):
+    """Fixed-shape pose output (ref YoloNASPose post-prediction callback,
+    yolo_nas_pose_post_prediction_callback.py:10-94)."""
+
+    poses: jnp.ndarray  # [B, max_predictions, K, 3] (x, y, joint conf)
+    boxes: jnp.ndarray  # [B, max_predictions, 4]
+    scores: jnp.ndarray  # [B, max_predictions]
+    num_detections: jnp.ndarray  # [B]
+
+
+def _single_image_pose_nms(boxes, scores, poses, score_threshold, iou_threshold, nms_top_k, max_predictions, mode):
+    """boxes [A,4], scores [A], poses [A,K,3]."""
+    k = min(nms_top_k, scores.shape[0])
+    top_scores, aidx = jax.lax.top_k(scores, k)
+    cand_boxes = boxes[aidx]
+    cand_poses = poses[aidx]
+    valid = top_scores > score_threshold
+
+    iou = box_iou(cand_boxes, cand_boxes)
+    if mode == "exact":
+        keep = _exact_keep_mask(iou, valid, iou_threshold)
+    else:
+        keep = _fast_keep_mask(iou, valid, iou_threshold)
+    final_scores = jnp.where(keep, top_scores, -1.0)
+
+    m = min(max_predictions, k)
+    out_scores, oidx = jax.lax.top_k(final_scores, m)
+    out_boxes = cand_boxes[oidx]
+    out_poses = cand_poses[oidx]
+    valid_out = out_scores > 0
+    out_scores = jnp.where(valid_out, out_scores, 0.0)
+    out_boxes = jnp.where(valid_out[:, None], out_boxes, 0.0)
+    out_poses = jnp.where(valid_out[:, None, None], out_poses, 0.0)
+    num = jnp.sum(valid_out.astype(jnp.int32))
+    if m < max_predictions:
+        pad = max_predictions - m
+        out_poses = jnp.pad(out_poses, ((0, pad), (0, 0), (0, 0)))
+        out_boxes = jnp.pad(out_boxes, ((0, pad), (0, 0)))
+        out_scores = jnp.pad(out_scores, (0, pad))
+    return PoseNMSOutput(out_poses, out_boxes, out_scores, num)
+
+
+def batched_pose_nms(
+    boxes: jnp.ndarray,  # [B, A, 4]
+    scores: jnp.ndarray,  # [B, A] or [B, A, 1]
+    pose_coords: jnp.ndarray,  # [B, A, K, 2]
+    pose_scores: jnp.ndarray,  # [B, A, K]
+    score_threshold: float = 0.1,
+    iou_threshold: float = 0.7,
+    nms_top_k: int = 1024,
+    max_predictions: int = 30,
+    mode: str = "exact",
+) -> PoseNMSOutput:
+    """Single-class NMS carrying per-anchor keypoint payloads (vmapped)."""
+    if scores.ndim == 3:
+        scores = scores[..., 0]
+    poses = jnp.concatenate([pose_coords, pose_scores[..., None]], axis=-1)  # [B, A, K, 3]
+    fn = lambda b, s, p: _single_image_pose_nms(
+        b, s, p, score_threshold, iou_threshold, nms_top_k, max_predictions, mode
+    )
+    return jax.vmap(fn)(boxes, scores, poses)

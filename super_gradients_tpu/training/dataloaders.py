@@ -127,6 +127,45 @@ class RandomDetectionDataset:
         return img, target
 
 
+class RandomPoseDataset:
+    """Images + padded [max_poses, 5 + 3K] pose targets (valid, box, K*(x,y,v))."""
+
+    def __init__(self, num_samples: int = 16, image_size: Tuple[int, int] = (64, 64), num_joints: int = 17, max_poses: int = 8, seed: int = 0):
+        self.num_samples = num_samples
+        self.image_size = tuple(image_size)
+        self.num_joints = num_joints
+        self.max_poses = max_poses
+        self.seed = seed
+
+    def __len__(self):
+        return self.num_samples
+
+    def __getitem__(self, i):
+        rng = np.random.RandomState(self.seed + i)
+        h, w = self.image_size
+        k = self.num_joints
+        img = rng.rand(h, w, 3).astype(np.float32)
+        n = rng.randint(1, max(2, self.max_poses // 2))
+        target = np.full((self.max_poses, 5 + 3 * k), -1.0, dtype=np.float32)
+        for j in range(n):
+            cx, cy = rng.rand(2) * [w * 0.6, h * 0.6] + [w * 0.2, h * 0.2]
+            bw, bh = rng.rand(2) * [w * 0.3, h * 0.3] + 10
+            x1, y1 = max(cx - bw / 2, 0), max(cy - bh / 2, 0)
+            x2, y2 = min(cx + bw / 2, w), min(cy + bh / 2, h)
+            kp = np.stack([
+                rng.uniform(x1, x2, k), rng.uniform(y1, y2, k), rng.randint(0, 3, k).astype(np.float64)
+            ], axis=1)
+            target[j, 0] = 0.0
+            target[j, 1:5] = [x1, y1, x2, y2]
+            target[j, 5:] = kp.reshape(-1)
+        return img, target
+
+
+@register_dataloader("pose_test_dataloader")
+def pose_test_dataloader(batch_size: int = 8, image_size: Tuple[int, int] = (64, 64), dataset_size: int = 16, num_joints: int = 17, **kw) -> DataLoader:
+    return DataLoader(RandomPoseDataset(dataset_size, image_size, num_joints), batch_size=batch_size, shuffle=True)
+
+
 class RandomSegmentationDataset:
     def __init__(self, num_samples: int = 16, image_size: Tuple[int, int] = (128, 128), num_classes: int = 19, seed: int = 0):
         self.num_samples = num_samples

@@ -85,6 +85,7 @@ class AssignResult(NamedTuple):
     labels: jnp.ndarray  # [B, L] int32 (num_classes = background)
     bboxes: jnp.ndarray  # [B, L, 4]
     scores: jnp.ndarray  # [B, L, C]
+    gt_index: jnp.ndarray = None  # [B, L] int32 index into gt arrays (valid where fg)
 
 
 class TaskAlignedAssigner:
@@ -121,7 +122,7 @@ class TaskAlignedAssigner:
         is_max_iou = compute_max_iou_anchor(ious)
         mask_positive = jnp.where(mask_multiple, is_max_iou, mask_positive)
 
-        assigned_labels, assigned_bboxes, assigned_scores, mps, _ = _gather_assigned(
+        assigned_labels, assigned_bboxes, assigned_scores, mps, assigned_gt_index = _gather_assigned(
             mask_positive, gt_labels, gt_bboxes, num_classes
         )
 
@@ -132,7 +133,7 @@ class TaskAlignedAssigner:
         alignment_metrics = alignment_metrics / (max_metrics_per_instance + self.eps) * max_ious_per_instance
         anchor_metric = jnp.max(alignment_metrics, axis=-2)[..., None]  # [B, L, 1]
         assigned_scores = assigned_scores * anchor_metric
-        return AssignResult(assigned_labels, assigned_bboxes, assigned_scores)
+        return AssignResult(assigned_labels, assigned_bboxes, assigned_scores, assigned_gt_index)
 
 
 class ATSSAssigner:
@@ -196,13 +197,13 @@ class ATSSAssigner:
         is_max_iou = compute_max_iou_anchor(ious)
         mask_positive = jnp.where(mask_multiple, is_max_iou, mask_positive)
 
-        assigned_labels, assigned_bboxes, assigned_scores, mps, _ = _gather_assigned(
+        assigned_labels, assigned_bboxes, assigned_scores, mps, assigned_gt_index = _gather_assigned(
             mask_positive, gt_labels, gt_bboxes, num_classes
         )
         if pred_bboxes is not None:
             pious = batch_iou_similarity(gt_bboxes, pred_bboxes) * mask_positive
             assigned_scores = assigned_scores * jnp.max(pious, axis=-2)[..., None]
-        return AssignResult(assigned_labels, assigned_bboxes, assigned_scores)
+        return AssignResult(assigned_labels, assigned_bboxes, assigned_scores, assigned_gt_index)
 
 
 # --------------------------------------------------------------------- losses

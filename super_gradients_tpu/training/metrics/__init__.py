@@ -16,6 +16,7 @@ from super_gradients_tpu.training.metrics.detection import (  # noqa: F401
     DetectionMetrics_075,
 )
 from super_gradients_tpu.training.metrics.segmentation import Dice, IoU, PixelAccuracy  # noqa: F401
+from super_gradients_tpu.training.metrics.pose_estimation import PoseEstimationMetrics  # noqa: F401
 from super_gradients_tpu.common.registry import METRICS
 
 
