@@ -310,3 +310,139 @@ def yolo_nas_pose_l(**kw):
     from super_gradients_tpu.models.pose.yolo_nas_pose import yolo_nas_pose_l_config
 
     return _pose_spec(yolo_nas_pose_l_config, **kw)
+
+
+# ------------------------------------------------- Classification zoo (extended)
+
+
+def _cls_spec(module, nc, input_hw=(224, 224)) -> ModelSpec:
+    return ModelSpec(
+        module=module,
+        task="classification",
+        num_classes=nc,
+        input_hw=input_hw,
+        processing=default_imagenet_processing(crop=input_hw[0]),
+    )
+
+
+@register_model("mobilenet_v2")
+def mobilenet_v2(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.mobilenet import MobileNetV2
+
+    arch_params = arch_params or {}
+    nc = num_classes or 1000
+    return _cls_spec(MobileNetV2(num_classes=nc, width_mult=arch_params.get("width_mult", 1.0)), nc)
+
+
+@register_model("mobilenet_v3_large")
+def mobilenet_v3_large(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.mobilenet import MobileNetV3
+
+    nc = num_classes or 1000
+    return _cls_spec(MobileNetV3(num_classes=nc, mode="large"), nc)
+
+
+@register_model("mobilenet_v3_small")
+def mobilenet_v3_small(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.mobilenet import MobileNetV3
+
+    nc = num_classes or 1000
+    return _cls_spec(MobileNetV3(num_classes=nc, mode="small"), nc)
+
+
+@register_model("mobilenet_v1")
+def mobilenet_v1(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.mobilenet import MobileNetV1
+
+    nc = num_classes or 1000
+    return _cls_spec(MobileNetV1(num_classes=nc), nc)
+
+
+def _efficientnet(variant, num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.efficientnet import EFFICIENTNET_PARAMS, EfficientNet
+
+    nc = num_classes or 1000
+    w, d, res, drop = EFFICIENTNET_PARAMS[variant]
+    return _cls_spec(EfficientNet(num_classes=nc, width_coeff=w, depth_coeff=d, dropout=drop), nc, (res, res))
+
+
+for _v in ["b0", "b1", "b2", "b3", "b4"]:
+    register_model(f"efficientnet_{_v}")(lambda num_classes=None, arch_params=None, _v=_v, **kw: _efficientnet(_v, num_classes, arch_params, **kw))
+
+
+def _regnety(variant, num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.regnet import REGNETY_PARAMS, RegNetY
+
+    nc = num_classes or 1000
+    iw, slope, q, depth, gw, se = REGNETY_PARAMS[variant]
+    return _cls_spec(
+        RegNetY(num_classes=nc, initial_width=iw, slope=slope, quantized_param=q, depth=depth, group_width=gw, se_ratio=se), nc
+    )
+
+
+for _v in ["regnetY200", "regnetY400", "regnetY600", "regnetY800"]:
+    register_model(_v)(lambda num_classes=None, arch_params=None, _v=_v, **kw: _regnety(_v, num_classes, arch_params, **kw))
+
+
+@register_model("vit_base")
+def vit_base_model(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.vit import vit_base
+
+    nc = num_classes or 1000
+    return _cls_spec(vit_base(num_classes=nc), nc)
+
+
+@register_model("vit_large")
+def vit_large_model(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.vit import vit_large
+
+    nc = num_classes or 1000
+    return _cls_spec(vit_large(num_classes=nc), nc)
+
+
+@register_model("vgg16")
+def vgg16(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.misc_models import VGG, VGG_CFGS
+
+    nc = num_classes or 10
+    return _cls_spec(VGG(cfg=VGG_CFGS["vgg16"], num_classes=nc), nc, (32, 32))
+
+
+@register_model("vgg19_bn")
+def vgg19(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.misc_models import VGG, VGG_CFGS
+
+    nc = num_classes or 10
+    return _cls_spec(VGG(cfg=VGG_CFGS["vgg19"], num_classes=nc), nc, (32, 32))
+
+
+@register_model("lenet")
+def lenet(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.misc_models import LeNet
+
+    nc = num_classes or 10
+    return _cls_spec(LeNet(num_classes=nc), nc, (32, 32))
+
+
+@register_model("shufflenet_v2_x1_0")
+def shufflenet_v2(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.misc_models import ShuffleNetV2
+
+    nc = num_classes or 1000
+    return _cls_spec(ShuffleNetV2(num_classes=nc), nc)
+
+
+@register_model("densenet121")
+def densenet121(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.misc_models import DenseNet
+
+    nc = num_classes or 1000
+    return _cls_spec(DenseNet(num_classes=nc), nc)
+
+
+@register_model("resnext50")
+def resnext50(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.misc_models import ResNeXt
+
+    nc = num_classes or 1000
+    return _cls_spec(ResNeXt(num_classes=nc), nc)

@@ -1,0 +1,159 @@
+"""MobileNet V1/V2/V3 (flax, NHWC).
+
+Reference: ``classification_models/mobilenet.py`` (V1, 72 LoC),
+``mobilenetv2.py`` (InvertedResidual, :254), ``mobilenetv3.py`` (SE + hardswish
+blocks, small/large configs, :252).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from super_gradients_tpu.modules.blocks import ConvBNAct, SEBlock, get_activation
+
+
+def _make_divisible(v: float, divisor: int = 8) -> int:
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+class InvertedResidual(nn.Module):
+    """MBConv block (ref mobilenetv2.py InvertedResidual)."""
+
+    out_channels: int
+    stride: int
+    expand_ratio: float
+    kernel: int = 3
+    act: str = "relu6"
+    se_ratio: Optional[float] = None
+    se_act: str = "relu"
+    se_gate: str = "hardsigmoid"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cin = x.shape[-1]
+        hidden = _make_divisible(cin * self.expand_ratio) if self.expand_ratio != 1 else cin
+        y = x
+        if self.expand_ratio != 1:
+            y = ConvBNAct(out_channels=hidden, kernel=1, act=self.act, name="expand")(y, train=train)
+        y = ConvBNAct(out_channels=hidden, kernel=self.kernel, stride=self.stride, groups=hidden, act=self.act, name="depthwise")(y, train=train)
+        if self.se_ratio:
+            y = SEBlock(_make_divisible(hidden * self.se_ratio), act=self.se_act, gate=self.se_gate, name="se")(y)
+        y = ConvBNAct(out_channels=self.out_channels, kernel=1, act="identity", name="project")(y, train=train)
+        if self.stride == 1 and cin == self.out_channels:
+            y = y + x
+        return y
+
+
+class MobileNetV2(nn.Module):
+    """ref mobilenetv2.py (width_mult=1.0, t/c/n/s table)."""
+
+    num_classes: int = 1000
+    width_mult: float = 1.0
+    dropout: float = 0.2
+
+    # (expand, channels, repeats, stride)
+    CFG: Tuple = ((1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2), (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1))
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c0 = _make_divisible(32 * self.width_mult)
+        x = ConvBNAct(out_channels=c0, kernel=3, stride=2, act="relu6", name="stem")(x, train=train)
+        i = 0
+        for t, c, n, s in self.CFG:
+            cc = _make_divisible(c * self.width_mult)
+            for j in range(n):
+                x = InvertedResidual(cc, s if j == 0 else 1, t, name=f"block_{i}")(x, train=train)
+                i += 1
+        last = _make_divisible(1280 * max(1.0, self.width_mult))
+        x = ConvBNAct(out_channels=last, kernel=1, act="relu6", name="head_conv")(x, train=train)
+        x = jnp.mean(x, axis=(1, 2))
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return nn.Dense(self.num_classes, name="classifier")(x)
+
+
+class MobileNetV3(nn.Module):
+    """ref mobilenetv3.py small/large."""
+
+    num_classes: int = 1000
+    mode: str = "large"  # large | small
+    width_mult: float = 1.0
+    dropout: float = 0.2
+
+    # (kernel, expand_ch, out_ch, se, act, stride)
+    LARGE: Tuple = (
+        (3, 16, 16, False, "relu", 1),
+        (3, 64, 24, False, "relu", 2),
+        (3, 72, 24, False, "relu", 1),
+        (5, 72, 40, True, "relu", 2),
+        (5, 120, 40, True, "relu", 1),
+        (5, 120, 40, True, "relu", 1),
+        (3, 240, 80, False, "hardswish", 2),
+        (3, 200, 80, False, "hardswish", 1),
+        (3, 184, 80, False, "hardswish", 1),
+        (3, 184, 80, False, "hardswish", 1),
+        (3, 480, 112, True, "hardswish", 1),
+        (3, 672, 112, True, "hardswish", 1),
+        (5, 672, 160, True, "hardswish", 2),
+        (5, 960, 160, True, "hardswish", 1),
+        (5, 960, 160, True, "hardswish", 1),
+    )
+    SMALL: Tuple = (
+        (3, 16, 16, True, "relu", 2),
+        (3, 72, 24, False, "relu", 2),
+        (3, 88, 24, False, "relu", 1),
+        (5, 96, 40, True, "hardswish", 2),
+        (5, 240, 40, True, "hardswish", 1),
+        (5, 240, 40, True, "hardswish", 1),
+        (5, 120, 48, True, "hardswish", 1),
+        (5, 144, 48, True, "hardswish", 1),
+        (5, 288, 96, True, "hardswish", 2),
+        (5, 576, 96, True, "hardswish", 1),
+        (5, 576, 96, True, "hardswish", 1),
+    )
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.LARGE if self.mode == "large" else self.SMALL
+        x = ConvBNAct(out_channels=_make_divisible(16 * self.width_mult), kernel=3, stride=2, act="hardswish", name="stem")(x, train=train)
+        for i, (k, exp, c, se, act, s) in enumerate(cfg):
+            cin = x.shape[-1]
+            cc = _make_divisible(c * self.width_mult)
+            x = InvertedResidual(
+                cc, s, _make_divisible(exp * self.width_mult) / cin, kernel=k, act=act,
+                se_ratio=0.25 if se else None, name=f"block_{i}",
+            )(x, train=train)
+        last_exp = _make_divisible((960 if self.mode == "large" else 576) * self.width_mult)
+        x = ConvBNAct(out_channels=last_exp, kernel=1, act="hardswish", name="head_conv")(x, train=train)
+        x = jnp.mean(x, axis=(1, 2))
+        head_dim = 1280 if self.mode == "large" else 1024
+        x = nn.Dense(head_dim, name="pre_classifier")(x)
+        x = get_activation("hardswish")(x)
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return nn.Dense(self.num_classes, name="classifier")(x)
+
+
+class MobileNetV1(nn.Module):
+    """ref mobilenet.py — depthwise-separable stack."""
+
+    num_classes: int = 1000
+
+    CFG: Tuple = (64, (128, 2), 128, (256, 2), 256, (512, 2), 512, 512, 512, 512, 512, (1024, 2), 1024)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBNAct(out_channels=32, kernel=3, stride=2, act="relu", name="stem")(x, train=train)
+        for i, c in enumerate(self.CFG):
+            out, s = (c, 1) if isinstance(c, int) else c
+            cin = x.shape[-1]
+            x = ConvBNAct(out_channels=cin, kernel=3, stride=s, groups=cin, act="relu", name=f"dw_{i}")(x, train=train)
+            x = ConvBNAct(out_channels=out, kernel=1, act="relu", name=f"pw_{i}")(x, train=train)
+        x = jnp.mean(x, axis=(1, 2))
+        return nn.Dense(self.num_classes, name="fc")(x)

