@@ -1,0 +1,262 @@
+"""Datasets: COCO-format + YOLO-format detection, folder classification, segmentation.
+
+Reference: ``training/datasets/`` — DetectionDataset base
+(``detection_dataset.py:38-565``: transform chain with additional-samples feed,
+class filtering, ignore_empty_annotations), COCOFormatDetectionDataset
+(``coco_format_detection.py``, json parsing), YoloFormat (txt),
+ImageNetDataset (folder), SegmentationDataSet (image+mask pairs).
+
+TPU-native contract: every detection sample leaves the dataset as
+``(image [H, W, 3] float32, targets [max_boxes, 5])`` — fixed shapes, -1-padded
+(SURVEY §7 "Ragged targets"). COCO json parsed with stdlib json (no pycocotools
+in this environment).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from super_gradients_tpu.common.logging_utils import get_logger
+from super_gradients_tpu.common.registry import register_dataset
+from super_gradients_tpu.training.transforms.detection import ComposeDetectionTransforms, DetectionSample
+
+logger = get_logger(__name__)
+
+
+def _load_image(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+class DetectionDataset:
+    """Base detection dataset (ref detection_dataset.py:38).
+
+    Subclasses implement ``_load_annotation(index) -> dict(img_path, boxes_xyxy,
+    labels)``; this base handles the transform chain (with additional-sample feed
+    for mosaic/mixup), class filtering, and fixed-shape target padding.
+    """
+
+    def __init__(
+        self,
+        transforms: Optional[Sequence] = None,
+        max_boxes: int = 50,
+        class_inclusion_list: Optional[Sequence[str]] = None,
+        ignore_empty_annotations: bool = False,
+        all_classes_list: Optional[Sequence[str]] = None,
+    ):
+        self.transforms = ComposeDetectionTransforms(transforms or [])
+        self.max_boxes = max_boxes
+        self.all_classes_list = list(all_classes_list or [])
+        self.class_inclusion_list = list(class_inclusion_list) if class_inclusion_list else None
+        self.ignore_empty_annotations = ignore_empty_annotations
+        self._annotations: List[Dict] = []
+        self._setup()
+        if self.class_inclusion_list:
+            keep_ids = {self.all_classes_list.index(c) for c in self.class_inclusion_list}
+            remap = {old: new for new, old in enumerate(sorted(keep_ids))}
+            filtered = []
+            for ann in self._annotations:
+                mask = np.isin(ann["labels"], list(keep_ids))
+                ann = dict(ann, boxes_xyxy=ann["boxes_xyxy"][mask], labels=np.asarray([remap[int(l)] for l in ann["labels"][mask]], np.int32))
+                filtered.append(ann)
+            self._annotations = filtered
+            self.classes = list(self.class_inclusion_list)
+        else:
+            self.classes = list(self.all_classes_list)
+        if self.ignore_empty_annotations:
+            self._annotations = [a for a in self._annotations if len(a["labels"]) > 0]
+
+    def _setup(self):
+        raise NotImplementedError
+
+    def __len__(self):
+        return len(self._annotations)
+
+    def _get_sample(self, index: int) -> DetectionSample:
+        ann = self._annotations[index]
+        image = _load_image(ann["img_path"]) if "img_path" in ann else ann["image"]
+        return DetectionSample(image, ann["boxes_xyxy"].astype(np.float32), ann["labels"].astype(np.int32))
+
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        sample = self._get_sample(index)
+        n_extra = self.transforms.additional_samples_count
+        additional = [self._get_sample(np.random.randint(len(self))) for _ in range(n_extra)]
+        sample = self.transforms(sample, additional)
+        image = np.asarray(sample.image, dtype=np.float32)
+        target = np.full((self.max_boxes, 5), -1.0, dtype=np.float32)
+        n = min(len(sample.labels), self.max_boxes)
+        if n:
+            target[:n, 0] = sample.labels[:n]
+            target[:n, 1:] = sample.bboxes_xyxy[:n]
+        return image, target
+
+    def get_dataset_preprocessing_params(self) -> Dict:
+        return {"class_names": self.classes}
+
+
+@register_dataset("COCOFormatDetectionDataset")
+class COCOFormatDetectionDataset(DetectionDataset):
+    """COCO instances json (ref coco_format_detection.py)."""
+
+    def __init__(self, data_dir: str, json_annotation_file: str, images_dir: str = "", **kwargs):
+        self.data_dir = data_dir
+        self.json_annotation_file = json_annotation_file
+        self.images_dir = images_dir
+        super().__init__(**kwargs)
+
+    def _setup(self):
+        json_path = os.path.join(self.data_dir, self.json_annotation_file)
+        with open(json_path) as f:
+            coco = json.load(f)
+        cats = sorted(coco.get("categories", []), key=lambda c: c["id"])
+        cat_id_to_contig = {c["id"]: i for i, c in enumerate(cats)}
+        self.all_classes_list = [c["name"] for c in cats]
+
+        anns_by_img: Dict[int, List] = {}
+        for a in coco.get("annotations", []):
+            if a.get("iscrowd", 0):
+                continue
+            anns_by_img.setdefault(a["image_id"], []).append(a)
+
+        for img in coco.get("images", []):
+            anns = anns_by_img.get(img["id"], [])
+            boxes, labels = [], []
+            for a in anns:
+                x, y, w, h = a["bbox"]
+                if w <= 0 or h <= 0:
+                    continue
+                boxes.append([x, y, x + w, y + h])
+                labels.append(cat_id_to_contig[a["category_id"]])
+            self._annotations.append(
+                dict(
+                    img_path=os.path.join(self.data_dir, self.images_dir, img["file_name"]),
+                    boxes_xyxy=np.asarray(boxes, np.float32).reshape(-1, 4),
+                    labels=np.asarray(labels, np.int32),
+                )
+            )
+
+
+@register_dataset("COCODetectionDataset")
+class COCODetectionDataset(COCOFormatDetectionDataset):
+    """Standard COCO2017 layout (ref coco_detection.py)."""
+
+    def __init__(self, data_dir: str, subdir: str = "images/val2017", json_file: str = "instances_val2017.json", **kwargs):
+        super().__init__(
+            data_dir=data_dir,
+            json_annotation_file=os.path.join("annotations", json_file),
+            images_dir=subdir,
+            **kwargs,
+        )
+
+
+@register_dataset("YoloDarknetFormatDetectionDataset")
+class YoloDarknetFormatDetectionDataset(DetectionDataset):
+    """YOLO txt format: per-image ``.txt`` with (cls cx cy w h) normalized rows
+    (ref yolo_format_detection.py)."""
+
+    def __init__(self, data_dir: str, images_dir: str, labels_dir: str, classes: Sequence[str], **kwargs):
+        self.data_dir = data_dir
+        self.images_dir = images_dir
+        self.labels_dir = labels_dir
+        self._classes_arg = list(classes)
+        super().__init__(all_classes_list=list(classes), **kwargs)
+
+    def _setup(self):
+        self.all_classes_list = self._classes_arg
+        img_dir = os.path.join(self.data_dir, self.images_dir)
+        lbl_dir = os.path.join(self.data_dir, self.labels_dir)
+        exts = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+        for fname in sorted(os.listdir(img_dir)):
+            if not fname.lower().endswith(exts):
+                continue
+            img_path = os.path.join(img_dir, fname)
+            from PIL import Image
+
+            with Image.open(img_path) as im:
+                w, h = im.size
+            lbl_path = os.path.join(lbl_dir, os.path.splitext(fname)[0] + ".txt")
+            boxes, labels = [], []
+            if os.path.exists(lbl_path):
+                for line in open(lbl_path).read().strip().splitlines():
+                    parts = line.split()
+                    if len(parts) < 5:
+                        continue
+                    c, cx, cy, bw, bh = float(parts[0]), *map(float, parts[1:5])
+                    boxes.append([(cx - bw / 2) * w, (cy - bh / 2) * h, (cx + bw / 2) * w, (cy + bh / 2) * h])
+                    labels.append(int(c))
+            self._annotations.append(
+                dict(img_path=img_path, boxes_xyxy=np.asarray(boxes, np.float32).reshape(-1, 4), labels=np.asarray(labels, np.int32))
+            )
+
+
+@register_dataset("ImageFolderDataset")
+class ImageFolderDataset:
+    """ImageNet-style folder/class layout (ref imagenet_dataset.py)."""
+
+    def __init__(self, root: str, image_size: Tuple[int, int] = (224, 224), transforms: Optional[Callable] = None):
+        self.root = root
+        self.image_size = tuple(image_size)
+        self.transforms = transforms
+        self.classes = sorted(d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)))
+        self.samples: List[Tuple[str, int]] = []
+        exts = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+        for ci, cls in enumerate(self.classes):
+            for fname in sorted(os.listdir(os.path.join(root, cls))):
+                if fname.lower().endswith(exts):
+                    self.samples.append((os.path.join(root, cls, fname), ci))
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        path, label = self.samples[i]
+        from PIL import Image
+
+        with Image.open(path) as im:
+            im = im.convert("RGB").resize((self.image_size[1], self.image_size[0]), Image.BILINEAR)
+            img = np.asarray(im, dtype=np.float32) / 255.0
+        if self.transforms:
+            img = self.transforms(img)
+        return img, np.int32(label)
+
+
+@register_dataset("SegmentationDataset")
+class SegmentationDataset:
+    """Paired image/mask folders (ref segmentation_dataset.py)."""
+
+    def __init__(self, root: str, images_dir: str = "images", masks_dir: str = "masks", image_size: Tuple[int, int] = (512, 512)):
+        self.root = root
+        self.image_size = tuple(image_size)
+        img_dir = os.path.join(root, images_dir)
+        self.mask_dir = os.path.join(root, masks_dir)
+        exts = (".jpg", ".jpeg", ".png", ".bmp")
+        self.items = [f for f in sorted(os.listdir(img_dir)) if f.lower().endswith(exts)]
+        self.img_dir = img_dir
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        from PIL import Image
+
+        name = self.items[i]
+        with Image.open(os.path.join(self.img_dir, name)) as im:
+            img = np.asarray(im.convert("RGB").resize((self.image_size[1], self.image_size[0]), Image.BILINEAR), np.float32) / 255.0
+        base = os.path.splitext(name)[0]
+        mask_path = None
+        for ext in (".png", ".jpg", ".bmp"):
+            p = os.path.join(self.mask_dir, base + ext)
+            if os.path.exists(p):
+                mask_path = p
+                break
+        with Image.open(mask_path) as m:
+            mask = np.asarray(m.resize((self.image_size[1], self.image_size[0]), Image.NEAREST), np.int32)
+        if mask.ndim == 3:
+            mask = mask[..., 0]
+        return img, mask
