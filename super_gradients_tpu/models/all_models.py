@@ -446,3 +446,51 @@ def resnext50(num_classes=None, arch_params=None, **kw):
 
     nc = num_classes or 1000
     return _cls_spec(ResNeXt(num_classes=nc), nc)
+
+
+# ------------------------------------------------------------ PP-YOLOE family
+
+
+def _ppyoloe_spec(config_fn, num_classes=None, arch_params=None, image_size: int = 640, **kw) -> ModelSpec:
+    from super_gradients_tpu.models.detection.pp_yolo_e import PPYoloE
+
+    arch_params = arch_params or {}
+    nc = num_classes or arch_params.get("num_classes", 80)
+    cfg = config_fn(num_classes=nc)
+    return ModelSpec(
+        module=PPYoloE(cfg),
+        task="detection",
+        num_classes=nc,
+        input_hw=(image_size, image_size),
+        config=cfg,
+        processing=default_yolo_nas_coco_processing(image_size),
+        class_names=COCO_DETECTION_CLASSES_LIST if nc == 80 else None,
+    )
+
+
+@register_model("ppyoloe_s")
+def ppyoloe_s(**kw):
+    from super_gradients_tpu.models.detection.pp_yolo_e import ppyoloe_s_config
+
+    return _ppyoloe_spec(ppyoloe_s_config, **kw)
+
+
+@register_model("ppyoloe_m")
+def ppyoloe_m(**kw):
+    from super_gradients_tpu.models.detection.pp_yolo_e import ppyoloe_m_config
+
+    return _ppyoloe_spec(ppyoloe_m_config, **kw)
+
+
+@register_model("ppyoloe_l")
+def ppyoloe_l(**kw):
+    from super_gradients_tpu.models.detection.pp_yolo_e import ppyoloe_l_config
+
+    return _ppyoloe_spec(ppyoloe_l_config, **kw)
+
+
+@register_model("ppyoloe_x")
+def ppyoloe_x(**kw):
+    from super_gradients_tpu.models.detection.pp_yolo_e import ppyoloe_x_config
+
+    return _ppyoloe_spec(ppyoloe_x_config, **kw)
