@@ -1,0 +1,162 @@
+"""Experiment loggers (SGLogger sinks).
+
+Reference parity: ``common/sg_loggers/`` — AbstractSGLogger (abstract_sg_logger.py:11,
+add_scalar/images/text/config/checkpoint surface), BaseSGLogger (console + TB + file,
+base_sg_logger.py:38-379, every write process-0-gated), registry ``SG_LOGGERS``
+selected by ``training_params.sg_logger``.
+
+Sinks here: console, JSONL metrics file (machine-readable training log), and
+TensorBoard event files via torch.utils.tensorboard when available. W&B/ClearML
+require network credentials — registered as explicit not-available stubs in this
+zero-egress environment.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from super_gradients_tpu.common.logging_utils import get_logger
+from super_gradients_tpu.common.registry import register_sg_logger
+
+logger = get_logger(__name__)
+
+
+def _is_primary() -> bool:
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
+class AbstractSGLogger:
+    """ref abstract_sg_logger.py:11-178."""
+
+    def add_config(self, tag: str, config: Dict):
+        pass
+
+    def add_scalar(self, tag: str, value: float, global_step: int = 0):
+        pass
+
+    def add_scalars(self, tag_scalar_dict: Dict[str, float], global_step: int = 0):
+        for k, v in tag_scalar_dict.items():
+            self.add_scalar(k, v, global_step)
+
+    def add_image(self, tag: str, image: np.ndarray, global_step: int = 0):
+        pass
+
+    def add_text(self, tag: str, text: str, global_step: int = 0):
+        pass
+
+    def add_checkpoint(self, tag: str, state_dict: Any, global_step: int = 0):
+        pass
+
+    def upload(self):
+        pass
+
+    def flush(self):
+        pass
+
+    def close(self):
+        pass
+
+
+@register_sg_logger("base_sg_logger")
+class BaseSGLogger(AbstractSGLogger):
+    """Console + JSONL + TensorBoard (ref base_sg_logger.py:38)."""
+
+    def __init__(
+        self,
+        experiment_name: str = "experiment",
+        storage_location: Optional[str] = None,
+        checkpoints_dir_path: Optional[str] = None,
+        monitor_system: bool = False,
+        tensorboard: bool = True,
+        **kwargs,
+    ):
+        self.experiment_name = experiment_name
+        self.dir = checkpoints_dir_path or storage_location or "."
+        self._jsonl = None
+        self._tb = None
+        self._monitor = None
+        if _is_primary():
+            os.makedirs(self.dir, exist_ok=True)
+            self._jsonl = open(os.path.join(self.dir, "events.jsonl"), "a")
+            if tensorboard:
+                try:
+                    from torch.utils.tensorboard import SummaryWriter
+
+                    self._tb = SummaryWriter(log_dir=os.path.join(self.dir, "tensorboard"))
+                except Exception as e:  # TB optional
+                    logger.debug(f"TensorBoard writer unavailable: {e}")
+            if monitor_system:
+                from super_gradients_tpu.common.monitoring import SystemMonitor
+
+                self._monitor = SystemMonitor(self)
+                self._monitor.start()
+
+    def add_config(self, tag: str, config: Dict):
+        if self._jsonl:
+            self._jsonl.write(json.dumps({"type": "config", "tag": tag, "config": config, "ts": time.time()}, default=str) + "\n")
+            self._jsonl.flush()
+        if self._tb:
+            self._tb.add_text(tag, f"```\n{json.dumps(config, indent=2, default=str)}\n```")
+
+    def add_scalar(self, tag: str, value: float, global_step: int = 0):
+        if self._jsonl:
+            self._jsonl.write(json.dumps({"type": "scalar", "tag": tag, "value": float(value), "step": int(global_step)}) + "\n")
+        if self._tb:
+            self._tb.add_scalar(tag, float(value), int(global_step))
+
+    def add_image(self, tag: str, image: np.ndarray, global_step: int = 0):
+        if self._tb is not None:
+            self._tb.add_image(tag, image, int(global_step), dataformats="HWC")
+
+    def add_text(self, tag: str, text: str, global_step: int = 0):
+        if self._jsonl:
+            self._jsonl.write(json.dumps({"type": "text", "tag": tag, "text": text, "step": int(global_step)}) + "\n")
+        if self._tb:
+            self._tb.add_text(tag, text, int(global_step))
+
+    def flush(self):
+        if self._jsonl:
+            self._jsonl.flush()
+        if self._tb:
+            self._tb.flush()
+
+    def close(self):
+        if self._monitor:
+            self._monitor.stop()
+        self.flush()
+        if self._jsonl:
+            self._jsonl.close()
+        if self._tb:
+            self._tb.close()
+
+
+@register_sg_logger("wandb_sg_logger")
+@register_sg_logger("clearml_sg_logger")
+class UnavailableRemoteLogger(BaseSGLogger):
+    """W&B/ClearML need network credentials; this environment is zero-egress —
+    falls back to the local sinks with a warning (reference loggers: wandb_sg_logger.py
+    / clearml_sg_logger.py)."""
+
+    def __init__(self, **kwargs):
+        logger.warning("Remote experiment loggers are unavailable offline; using local JSONL/TB sinks")
+        super().__init__(**kwargs)
+
+
+def get_sg_logger(name: str, **params) -> AbstractSGLogger:
+    from super_gradients_tpu.common.registry import SG_LOGGERS
+
+    if isinstance(name, AbstractSGLogger):
+        return name
+    if name not in SG_LOGGERS:
+        raise KeyError(f"Unknown sg_logger `{name}`; registered: {sorted(SG_LOGGERS)}")
+    return SG_LOGGERS[name](**params)

@@ -211,3 +211,92 @@ def get(name: Optional[str] = None, dataset=None, dataset_params: Optional[Dict]
     if dataset is None:
         raise ValueError("Either `name` or `dataset` must be provided")
     return DataLoader(dataset, **dataloader_params)
+
+
+# ----------------------------------------------- real-data named loaders
+# (reference dataloaders.py:229-887 — COCO/Cityscapes/ImageNet named factories)
+
+
+def _yolo_nas_train_transforms(input_dim=(640, 640)):
+    from super_gradients_tpu.training.transforms.detection import (
+        DetectionHSV,
+        DetectionHorizontalFlip,
+        DetectionMixup,
+        DetectionMosaic,
+        DetectionPaddedRescale,
+        DetectionRandomAffine,
+        DetectionStandardize,
+    )
+
+    return [
+        DetectionMosaic(input_dim=input_dim, prob=1.0),
+        DetectionRandomAffine(degrees=10, translate=0.1, scales=(0.5, 1.5), shear=2.0, target_size=input_dim),
+        DetectionMixup(prob=0.5),
+        DetectionHSV(prob=1.0, hgain=5, sgain=30, vgain=30),
+        DetectionHorizontalFlip(prob=0.5),
+        DetectionPaddedRescale(input_dim=input_dim),
+        DetectionStandardize(max_value=255.0),
+    ]
+
+
+def _yolo_nas_val_transforms(input_dim=(640, 640)):
+    from super_gradients_tpu.training.transforms.detection import DetectionPaddedRescale, DetectionStandardize
+
+    return [DetectionPaddedRescale(input_dim=input_dim), DetectionStandardize(max_value=255.0)]
+
+
+@register_dataloader("coco2017_train_yolo_nas")
+@register_dataloader("coco2017_train")
+def coco2017_train_yolo_nas(data_dir: str, batch_size: int = 16, input_dim=(640, 640), max_boxes: int = 120,
+                            subdir: str = "images/train2017", json_file: str = "instances_train2017.json", **kw) -> DataLoader:
+    from super_gradients_tpu.training.datasets import COCODetectionDataset
+
+    ds = COCODetectionDataset(
+        data_dir=data_dir, subdir=subdir, json_file=json_file,
+        transforms=_yolo_nas_train_transforms(tuple(input_dim)), max_boxes=max_boxes,
+        ignore_empty_annotations=True,
+    )
+    return DataLoader(ds, batch_size=batch_size, shuffle=True, drop_last=True)
+
+
+@register_dataloader("coco2017_val_yolo_nas")
+@register_dataloader("coco2017_val")
+def coco2017_val_yolo_nas(data_dir: str, batch_size: int = 32, input_dim=(640, 640), max_boxes: int = 120,
+                          subdir: str = "images/val2017", json_file: str = "instances_val2017.json", **kw) -> DataLoader:
+    from super_gradients_tpu.training.datasets import COCODetectionDataset
+
+    ds = COCODetectionDataset(
+        data_dir=data_dir, subdir=subdir, json_file=json_file,
+        transforms=_yolo_nas_val_transforms(tuple(input_dim)), max_boxes=max_boxes,
+    )
+    return DataLoader(ds, batch_size=batch_size, shuffle=False, drop_last=False)
+
+
+@register_dataloader("imagenet_train")
+def imagenet_train(data_dir: str, batch_size: int = 128, image_size=(224, 224), **kw) -> DataLoader:
+    from super_gradients_tpu.training.datasets import ImageFolderDataset
+
+    return DataLoader(ImageFolderDataset(data_dir, tuple(image_size)), batch_size=batch_size, shuffle=True)
+
+
+@register_dataloader("imagenet_val")
+def imagenet_val(data_dir: str, batch_size: int = 128, image_size=(224, 224), **kw) -> DataLoader:
+    from super_gradients_tpu.training.datasets import ImageFolderDataset
+
+    return DataLoader(ImageFolderDataset(data_dir, tuple(image_size)), batch_size=batch_size, shuffle=False, drop_last=False)
+
+
+@register_dataloader("segmentation_train")
+@register_dataloader("cityscapes_stdc_seg50_train")
+def segmentation_train(root: str, batch_size: int = 8, image_size=(512, 1024), **kw) -> DataLoader:
+    from super_gradients_tpu.training.datasets import SegmentationDataset
+
+    return DataLoader(SegmentationDataset(root, image_size=tuple(image_size)), batch_size=batch_size, shuffle=True)
+
+
+@register_dataloader("segmentation_val")
+@register_dataloader("cityscapes_stdc_seg50_val")
+def segmentation_val(root: str, batch_size: int = 8, image_size=(512, 1024), **kw) -> DataLoader:
+    from super_gradients_tpu.training.datasets import SegmentationDataset
+
+    return DataLoader(SegmentationDataset(root, image_size=tuple(image_size)), batch_size=batch_size, shuffle=False, drop_last=False)

@@ -77,5 +77,12 @@ def build_optimizer(
     if optimizer not in OPTIMIZERS:
         raise KeyError(f"Unknown optimizer `{optimizer}`; registered: {sorted(OPTIMIZERS)}")
     opt_params = dict(optimizer_params or {})
+    # YAML 1.1 parses bare "1e-4" as a string — coerce numeric-looking values
+    for k, v in opt_params.items():
+        if isinstance(v, str):
+            try:
+                opt_params[k] = float(v)
+            except ValueError:
+                pass
     mask = _wd_mask(params) if zero_weight_decay_on_bias_and_bn else None
     return OPTIMIZERS[optimizer](learning_rate=lr_schedule, zero_wd_mask=mask, **opt_params)

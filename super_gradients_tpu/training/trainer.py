@@ -230,6 +230,16 @@ class Trainer:
         data_sharding = batch_sharding(mesh)
         silent = bool(tp.get("silent_mode")) or jax.process_index() != 0
 
+        # ---- experiment logger (ref sg_trainer.py:1985-2040) -----------
+        from super_gradients_tpu.common.sg_loggers import get_sg_logger
+
+        sg_logger_params = dict(tp.get("sg_logger_params") or {})
+        sg_logger_params.setdefault("experiment_name", self.experiment_name)
+        sg_logger_params.setdefault("checkpoints_dir_path", self.ckpt_dir)
+        self.sg_logger = get_sg_logger(tp.get("sg_logger", "base_sg_logger"), **sg_logger_params)
+        self.sg_logger.add_config("training_params", {k: v for k, v in tp.items() if not callable(v)})
+        context.update_context(sg_logger=self.sg_logger)
+
         handler.on_training_start(context)
         max_train_batches = tp.get("max_train_batches")
         max_valid_batches = tp.get("max_valid_batches")
@@ -301,6 +311,14 @@ class Trainer:
                         msg += " | " + " ".join(f"{k}={v:.4f}" for k, v in valid_results.items())
                     logger.info(msg)
 
+                self.sg_logger.add_scalar("Train/loss", loss_sum / max(loss_count, 1), epoch)
+                if "lr" in last_metrics:
+                    self.sg_logger.add_scalar("Train/lr", float(last_metrics["lr"]), epoch)
+                self.sg_logger.add_scalar("Train/epoch_time_s", epoch_time, epoch)
+                for k, v in valid_results.items():
+                    self.sg_logger.add_scalar(f"Valid/{k}", v, epoch)
+                self.sg_logger.flush()
+
                 # ---------- checkpointing ----------
                 if tp.get("save_model", True) and jax.process_index() == 0:
                     self._save_epoch_checkpoints(
@@ -310,6 +328,7 @@ class Trainer:
             logger.info("Ctrl-C — finishing gracefully (checkpoint preserved)")
 
         handler.on_training_end(context)
+        self.sg_logger.close()
 
         # hand the trained weights back to the model wrapper (EMA if enabled)
         final_vars = self._eval_variables(state, use_ema, has_bn)
@@ -384,6 +403,49 @@ class Trainer:
         )
         logger.info(f"Resumed from {ckpt_dir}/{name} at epoch {start_epoch}")
         return state, start_epoch
+
+    # ----------------------------------------------------------- evaluation
+
+    def evaluate(self, model, data_loader, training_params: Dict = None, metrics_list=None) -> Dict[str, float]:
+        """Standalone evaluation loop (ref Trainer.evaluate :2218 / test :2096)."""
+        tp = _default_training_params()
+        tp.update(training_params or {})
+        mesh = get_mesh()
+        metrics = MetricCollection([get_metric(m) for m in (metrics_list or tp.get("valid_metrics_list") or [])])
+        criterion = get_loss(tp.get("loss"), tp.get("criterion_params")) if tp.get("loss") else None
+        module = model.module
+        variables = model.variables
+
+        @jax.jit
+        def eval_step(dev_states, inputs, targets):
+            out = module.apply(variables, inputs, train=False)
+            new_dev = metrics.update_device_only(dev_states, out, targets)
+            host_aux = metrics.preprocess_device(out, targets)
+            loss = criterion(out, targets)[0] if criterion is not None else jnp.zeros(())
+            return new_dev, host_aux, loss
+
+        data_sharding = batch_sharding(mesh)
+        mstates = metrics.init()
+        loss_sum, count = 0.0, 0
+        for batch in data_loader:
+            inputs = jax.device_put(jnp.asarray(batch[0]), data_sharding)
+            targets = jax.device_put(jnp.asarray(batch[1]), data_sharding)
+            dev_states = metrics.device_states(mstates)
+            new_dev, host_aux, loss = eval_step(dev_states, inputs, targets)
+            mstates = metrics.merge_device_states(mstates, new_dev)
+            if metrics.has_host_metrics():
+                mstates = metrics.update_host(mstates, jax.device_get(host_aux), np.asarray(batch[1]))
+            loss_sum += float(loss)
+            count += 1
+        results = metrics.compute(mstates)
+        if criterion is not None:
+            results["Loss"] = loss_sum / max(count, 1)
+        return results
+
+    def test(self, model, test_loader, test_metrics_list=None, loss=None) -> Dict[str, float]:
+        """ref Trainer.test (:2096)."""
+        tp = {"loss": loss} if loss else {}
+        return self.evaluate(model, test_loader, tp, metrics_list=test_metrics_list)
 
     # ----------------------------------------------------------- class APIs
 
