@@ -494,3 +494,43 @@ def ppyoloe_x(**kw):
     from super_gradients_tpu.models.detection.pp_yolo_e import ppyoloe_x_config
 
     return _ppyoloe_spec(ppyoloe_x_config, **kw)
+
+
+# --------------------------------------------------------------- YOLOX family
+
+
+def _yolox_spec(variant, num_classes=None, arch_params=None, image_size: int = 640, **kw) -> ModelSpec:
+    from super_gradients_tpu.models.detection.yolox import YoloX, yolox_config
+
+    nc = num_classes or (arch_params or {}).get("num_classes", 80)
+    cfg = yolox_config(variant, nc)
+    return ModelSpec(
+        module=YoloX(cfg),
+        task="detection",
+        num_classes=nc,
+        input_hw=(image_size, image_size),
+        config=cfg,
+        processing=default_yolo_nas_coco_processing(image_size),
+        class_names=COCO_DETECTION_CLASSES_LIST if nc == 80 else None,
+    )
+
+
+for _v in ["yolox_n", "yolox_t", "yolox_s", "yolox_m", "yolox_l"]:
+    register_model(_v)(lambda num_classes=None, arch_params=None, _v=_v, **kw: _yolox_spec(_v, num_classes, arch_params, **kw))
+
+
+@register_model("ssd_lite_mobilenet_v2")
+def ssd_lite_mobilenet_v2(num_classes=None, arch_params=None, image_size: int = 320, **kw) -> ModelSpec:
+    from super_gradients_tpu.models.detection.ssd import SSDConfig, SSDLiteMobileNetV2
+
+    nc = num_classes or (arch_params or {}).get("num_classes", 80)
+    cfg = SSDConfig(num_classes=nc, fig_size=image_size)
+    return ModelSpec(
+        module=SSDLiteMobileNetV2(cfg),
+        task="detection",
+        num_classes=nc,
+        input_hw=(image_size, image_size),
+        config=cfg,
+        processing=default_yolo_nas_coco_processing(image_size),
+        class_names=COCO_DETECTION_CLASSES_LIST if nc == 80 else None,
+    )
