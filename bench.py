@@ -22,7 +22,7 @@ import numpy as np
 BATCH = int(os.environ.get("BENCH_BATCH", 64))
 IMAGE = int(os.environ.get("BENCH_IMAGE", 640))
 MODEL = os.environ.get("BENCH_MODEL", "yolo_nas_m")
-ITERS = int(os.environ.get("BENCH_ITERS", 10))
+ITERS = int(os.environ.get("BENCH_ITERS", 30))
 A100_TRT_IMG_PER_S = 640.0  # published-extrapolated reference throughput
 BASELINE = 2.0 * A100_TRT_IMG_PER_S
 
@@ -50,14 +50,17 @@ def main():
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randint(0, 255, size=(BATCH, IMAGE, IMAGE, 3), dtype=np.uint8))
 
-    # warmup / compile
+    # warmup / compile (+ hard D2H sync: on the axon relay, block_until_ready
+    # alone does not drain the async dispatch queue at low call counts)
     out = fn(images)
     jax.block_until_ready(out)
+    np.asarray(out.num_detections)
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         out = fn(images)
     jax.block_until_ready(out)
+    np.asarray(out.num_detections)
     dt = time.perf_counter() - t0
 
     imgs_per_s = BATCH * ITERS / dt
