@@ -534,3 +534,44 @@ def ssd_lite_mobilenet_v2(num_classes=None, arch_params=None, image_size: int = 
         processing=default_yolo_nas_coco_processing(image_size),
         class_names=COCO_DETECTION_CLASSES_LIST if nc == 80 else None,
     )
+
+
+# -------------------------------------------- Classification zoo (final batch)
+
+
+def _repvgg(variant, num_classes=None, arch_params=None, **kw):
+    import dataclasses
+
+    from super_gradients_tpu.models.classification.repvgg import REPVGG_VARIANTS, RepVGG
+
+    nc = num_classes or 1000
+    cfg = dataclasses.replace(REPVGG_VARIANTS[variant], num_classes=nc)
+    return _cls_spec(RepVGG(cfg), nc)
+
+
+for _v in ["repvgg_a0", "repvgg_a1", "repvgg_a2", "repvgg_b0"]:
+    register_model(_v)(lambda num_classes=None, arch_params=None, _v=_v, **kw: _repvgg(_v, num_classes, arch_params, **kw))
+
+
+@register_model("preact_resnet18")
+def preact_resnet18(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.more_models import PreActResNet
+
+    nc = num_classes or 10
+    return _cls_spec(PreActResNet(num_classes=nc), nc, (32, 32))
+
+
+@register_model("googlenet_v1")
+def googlenet_v1(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.more_models import GoogLeNet
+
+    nc = num_classes or 1000
+    return _cls_spec(GoogLeNet(num_classes=nc), nc)
+
+
+@register_model("senet18")
+def senet18(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.more_models import SENetCifar
+
+    nc = num_classes or 10
+    return _cls_spec(SENetCifar(num_classes=nc), nc, (32, 32))

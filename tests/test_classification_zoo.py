@@ -41,3 +41,45 @@ def test_vit_forward():
     out = model(x)
     assert out.shape == (1, 10)
     assert 80 < model.num_params() / 1e6 < 90  # ViT-B/16 ~86M
+
+
+@pytest.mark.parametrize("name,size", [
+    ("repvgg_a0", 64),
+    ("preact_resnet18", 32),
+    ("googlenet_v1", 96),
+    ("senet18", 32),
+])
+def test_more_classification_models(name, size):
+    model = models.get(name, num_classes=7)
+    out = model(jnp.ones((1, size, size, 3)))
+    assert out.shape == (1, 7)
+
+
+def test_repvgg_classification_fuse_parity():
+    """Whole-RepVGG fusion (fuse_repvgg_params) matches the training graph."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from super_gradients_tpu.models.classification.repvgg import REPVGG_VARIANTS, RepVGG
+    from super_gradients_tpu.modules.blocks import RepVGGBlock, fuse_repvgg_params
+
+    cfg = dataclasses.replace(REPVGG_VARIANTS["repvgg_a0"], num_classes=5)
+    model = RepVGG(cfg)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32))
+    vars_ = model.init(jax.random.PRNGKey(0), x)
+    ref = model.apply(vars_, x, train=False)
+
+    # fuse every RepVGG block subtree
+    def walk(p, s, residual_ok):
+        if "branch_3x3_conv" in p:
+            k = p["branch_3x3_conv"]["kernel"]
+            blk = RepVGGBlock(out_channels=int(k.shape[3]), use_residual="identity_bn" in p)
+            return fuse_repvgg_params(p, s, blk)
+        return {k2: walk(v, s.get(k2, {}), residual_ok) if isinstance(v, dict) else v for k2, v in p.items()}
+
+    fused_params = walk(vars_["params"], vars_["batch_stats"], True)
+    fused_model = RepVGG(dataclasses.replace(cfg, fused="full"))
+    got = fused_model.apply({"params": fused_params}, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-3)
