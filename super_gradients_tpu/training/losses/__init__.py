@@ -8,6 +8,7 @@ from super_gradients_tpu.training.losses.ppyolo_loss import PPYoloELoss  # noqa:
 from super_gradients_tpu.training.losses.yolo_nas_pose_loss import YoloNASPoseLoss  # noqa: F401
 from super_gradients_tpu.training.losses.yolox_loss import YoloXDetectionLoss  # noqa: F401
 from super_gradients_tpu.training.losses.ssd_loss import SSDLoss  # noqa: F401
+from super_gradients_tpu.training.losses.kd_losses import KDLogitsLoss  # noqa: F401
 from super_gradients_tpu.training.losses.segmentation_losses import (  # noqa: F401
     DiceCEEdgeLoss,
     DiceLoss,
