@@ -575,3 +575,52 @@ def senet18(num_classes=None, arch_params=None, **kw):
 
     nc = num_classes or 10
     return _cls_spec(SENetCifar(num_classes=nc), nc, (32, 32))
+
+
+# ---------------------------------------------------- Segmentation (final batch)
+
+
+@register_model("regseg48")
+def regseg48(num_classes=None, arch_params=None, input_hw=(512, 1024), **kw):
+    from super_gradients_tpu.models.segmentation.regseg import RegSeg, RegSegCfg
+
+    nc = num_classes or 19
+    return _seg_spec(RegSeg(RegSegCfg(num_classes=nc)), nc, tuple(input_hw))
+
+
+@register_model("unet")
+def unet(num_classes=None, arch_params=None, input_hw=(512, 512), **kw):
+    from super_gradients_tpu.models.segmentation.unet_segformer import UNet, UNetCfg
+
+    nc = num_classes or 19
+    return _seg_spec(UNet(UNetCfg(num_classes=nc)), nc, tuple(input_hw))
+
+
+def _segformer(cfg, num_classes=None, arch_params=None, input_hw=(512, 1024), **kw):
+    import dataclasses
+
+    from super_gradients_tpu.models.segmentation.unet_segformer import SegFormer
+
+    nc = num_classes or 19
+    return _seg_spec(SegFormer(dataclasses.replace(cfg, num_classes=nc)), nc, tuple(input_hw))
+
+
+@register_model("segformer_b0")
+def segformer_b0(**kw):
+    from super_gradients_tpu.models.segmentation.unet_segformer import SEGFORMER_B0
+
+    return _segformer(SEGFORMER_B0, **kw)
+
+
+@register_model("segformer_b1")
+def segformer_b1(**kw):
+    from super_gradients_tpu.models.segmentation.unet_segformer import SEGFORMER_B1
+
+    return _segformer(SEGFORMER_B1, **kw)
+
+
+@register_model("segformer_b2")
+def segformer_b2(**kw):
+    from super_gradients_tpu.models.segmentation.unet_segformer import SEGFORMER_B2
+
+    return _segformer(SEGFORMER_B2, **kw)

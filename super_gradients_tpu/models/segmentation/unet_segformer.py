@@ -1,0 +1,159 @@
+"""UNet + SegFormer (flax, NHWC).
+
+Reference: ``segmentation_models/unet/`` (configurable encoder/decoder, 340+239+234
+LoC) and ``segformer.py`` (MiT backbone: overlapping patch embed, efficient
+self-attention with spatial-reduction, MixFFN; all-MLP decode head; B0-B5 configs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from super_gradients_tpu.modules.blocks import ConvBNAct
+
+
+# ------------------------------------------------------------------------ UNet
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetCfg:
+    num_classes: int = 19
+    widths: Tuple[int, ...] = (64, 128, 256, 512, 1024)
+
+
+class UNet(nn.Module):
+    """Classic UNet with BN double-convs (ref unet/unet.py)."""
+
+    cfg: UNetCfg
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.cfg
+
+        def double_conv(x, w, name):
+            x = ConvBNAct(out_channels=w, kernel=3, act="relu", name=f"{name}_1")(x, train=train)
+            return ConvBNAct(out_channels=w, kernel=3, act="relu", name=f"{name}_2")(x, train=train)
+
+        skips = []
+        for i, w in enumerate(c.widths[:-1]):
+            x = double_conv(x, w, f"down{i}")
+            skips.append(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = double_conv(x, c.widths[-1], "bottleneck")
+        for i, w in reversed(list(enumerate(c.widths[:-1]))):
+            b, h, wd, cc = x.shape
+            x = jax.image.resize(x, (b, h * 2, wd * 2, cc), "bilinear")
+            x = nn.Conv(w, (1, 1), name=f"up{i}_proj")(x)
+            x = jnp.concatenate([x, skips[i]], axis=-1)
+            x = double_conv(x, w, f"up{i}")
+        return nn.Conv(c.num_classes, (1, 1), name="head")(x)
+
+
+# -------------------------------------------------------------------- SegFormer
+
+
+class EfficientSelfAttention(nn.Module):
+    """Spatial-reduction attention (ref segformer.py:67)."""
+
+    dim: int
+    heads: int
+    sr_ratio: int
+
+    @nn.compact
+    def __call__(self, x, hw, train: bool = False):
+        b, n, d = x.shape
+        h, w = hw
+        q = nn.Dense(d, name="q")(x)
+        kv_in = x
+        if self.sr_ratio > 1:
+            xm = x.reshape(b, h, w, d)
+            xm = nn.Conv(d, (self.sr_ratio, self.sr_ratio), strides=(self.sr_ratio, self.sr_ratio), name="sr")(xm)
+            kv_in = nn.LayerNorm(name="sr_norm")(xm.reshape(b, -1, d))
+        k = nn.Dense(d, name="k")(kv_in)
+        v = nn.Dense(d, name="v")(kv_in)
+        hd = d // self.heads
+        q = q.reshape(b, -1, self.heads, hd)
+        k = k.reshape(b, -1, self.heads, hd)
+        v = v.reshape(b, -1, self.heads, hd)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, d)
+        return nn.Dense(d, name="proj")(out)
+
+
+class MixFFN(nn.Module):
+    """MLP with a 3x3 depthwise conv (ref segformer.py:108)."""
+
+    dim: int
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, hw, train: bool = False):
+        b, n, d = x.shape
+        h, w = hw
+        hidden = d * self.expansion
+        y = nn.Dense(hidden, name="fc1")(x)
+        ym = y.reshape(b, h, w, hidden)
+        ym = nn.Conv(hidden, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=hidden, name="dwconv")(ym)
+        y = nn.gelu(ym.reshape(b, n, hidden))
+        return nn.Dense(d, name="fc2")(y)
+
+
+@dataclasses.dataclass(frozen=True)
+class SegFormerCfg:
+    num_classes: int = 19
+    embed_dims: Tuple[int, ...] = (32, 64, 160, 256)  # B0
+    depths: Tuple[int, ...] = (2, 2, 2, 2)
+    heads: Tuple[int, ...] = (1, 2, 5, 8)
+    sr_ratios: Tuple[int, ...] = (8, 4, 2, 1)
+    decoder_dim: int = 256
+
+
+SEGFORMER_B0 = SegFormerCfg()
+SEGFORMER_B1 = SegFormerCfg(embed_dims=(64, 128, 320, 512))
+SEGFORMER_B2 = SegFormerCfg(embed_dims=(64, 128, 320, 512), depths=(3, 4, 6, 3), decoder_dim=768)
+
+
+class SegFormer(nn.Module):
+    """MiT encoder + all-MLP head (ref segformer.py:163-490)."""
+
+    cfg: SegFormerCfg
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.cfg
+        b = x.shape[0]
+        in_h, in_w = x.shape[1], x.shape[2]
+        feats = []
+        for si, (dim, depth, heads, sr) in enumerate(zip(c.embed_dims, c.depths, c.heads, c.sr_ratios)):
+            patch, stride = (7, 4) if si == 0 else (3, 2)
+            p = patch // 2
+            x = nn.Conv(dim, (patch, patch), strides=(stride, stride), padding=((p, p), (p, p)), name=f"patch_embed{si}")(x)
+            h, w = x.shape[1], x.shape[2]
+            t = nn.LayerNorm(name=f"embed_norm{si}")(x.reshape(b, -1, dim))
+            for bi in range(depth):
+                t = t + EfficientSelfAttention(dim, heads, sr, name=f"attn{si}_{bi}")(
+                    nn.LayerNorm(name=f"norm1_{si}_{bi}")(t), (h, w), train=train
+                )
+                t = t + MixFFN(dim, name=f"ffn{si}_{bi}")(nn.LayerNorm(name=f"norm2_{si}_{bi}")(t), (h, w), train=train)
+            t = nn.LayerNorm(name=f"out_norm{si}")(t)
+            x = t.reshape(b, h, w, dim)
+            feats.append(x)
+
+        # all-MLP decode head: project each stage to decoder_dim, upsample to 1/4, fuse
+        target_h, target_w = feats[0].shape[1], feats[0].shape[2]
+        ups = []
+        for si, f in enumerate(feats):
+            y = nn.Dense(c.decoder_dim, name=f"linear_c{si}")(f)
+            if y.shape[1] != target_h:
+                y = jax.image.resize(y, (b, target_h, target_w, c.decoder_dim), "bilinear")
+            ups.append(y)
+        y = jnp.concatenate(ups[::-1], axis=-1)
+        y = ConvBNAct(out_channels=c.decoder_dim, kernel=1, act="relu", name="linear_fuse")(y, train=train)
+        y = nn.Conv(c.num_classes, (1, 1), name="linear_pred")(y)
+        return jax.image.resize(y, (b, in_h, in_w, c.num_classes), "bilinear")

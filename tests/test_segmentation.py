@@ -115,3 +115,14 @@ def test_seg_predict_surface(tmp_path):
     assert preds[0].segmentation_map.shape == (100, 80)
     drawn = preds[0].draw()
     assert drawn.shape == (100, 80, 3)
+
+
+@pytest.mark.parametrize("name,size", [
+    ("regseg48", 64),
+    ("unet", 64),
+    ("segformer_b0", 64),
+])
+def test_more_seg_models(name, size):
+    model = models.get(name, num_classes=6, input_hw=(size, size))
+    out = model(jnp.ones((1, size, size, 3)))
+    assert out.shape == (1, size, size, 6)
