@@ -334,6 +334,12 @@ class Trainer:
         final_vars = self._eval_variables(state, use_ema, has_bn)
         model.update_variables(jax.device_get(final_vars))
         self.train_state = state
+
+        if tp.get("precise_bn") and has_bn:
+            from super_gradients_tpu.training.precise_bn import compute_precise_bn_stats
+
+            n = int(tp.get("precise_bn_batch_size") or 16)
+            compute_precise_bn_stats(model, train_loader, num_batches=n)
         return model
 
     # ------------------------------------------------------------ internals

@@ -108,3 +108,17 @@ def test_batch_is_sharded_over_mesh(tmp_path):
     trainer = Trainer("e2e_mesh", ckpt_root_dir=str(tmp_path))
     trainer.train(model, _quick_params(max_epochs=1), loader, loader)
     assert trainer.train_loss_history
+
+
+def test_precise_bn_recomputes_stats(tmp_path):
+    from super_gradients_tpu.training.precise_bn import compute_precise_bn_stats
+
+    model = models.get("resnet18_cifar", num_classes=10)
+    loader = dataloaders.get("classification_test_dataloader", dataset_params={"image_size": (32, 32), "dataset_size": 32, "batch_size": 16})
+    before = jax.device_get(model.batch_stats)
+    compute_precise_bn_stats(model, loader, num_batches=2)
+    after = jax.device_get(model.batch_stats)
+    deltas = jax.tree_util.tree_map(lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()), before, after)
+    assert max(jax.tree_util.tree_leaves(deltas)) > 1e-4  # stats actually moved
+    # and they are finite / sane
+    assert all(np.isfinite(x).all() for x in jax.tree_util.tree_leaves(after))
