@@ -624,3 +624,22 @@ def segformer_b2(**kw):
     from super_gradients_tpu.models.segmentation.unet_segformer import SEGFORMER_B2
 
     return _segformer(SEGFORMER_B2, **kw)
+
+
+@register_model("dekr_w32_no_dc")
+@register_model("dekr_custom")
+def dekr_w32(num_classes=None, arch_params=None, image_size: int = 512, **kw) -> ModelSpec:
+    from super_gradients_tpu.models.class_names import COCO_POSE_EDGE_LINKS, COCO_POSE_KEYPOINTS
+    from super_gradients_tpu.models.pose.dekr import DEKRConfig, DEKRPoseEstimationModel
+
+    arch_params = arch_params or {}
+    nj = num_classes or arch_params.get("num_joints", 17)
+    cfg = DEKRConfig(num_joints=nj, width=arch_params.get("width", 32))
+    return ModelSpec(
+        module=DEKRPoseEstimationModel(cfg),
+        task="generic",  # DEKR decode is heatmap-based; use dekr_decode directly
+        num_classes=nj,
+        input_hw=(image_size, image_size),
+        config=cfg,
+        class_names=COCO_POSE_KEYPOINTS if nj == 17 else None,
+    )
