@@ -9,6 +9,7 @@ from super_gradients_tpu.training.losses.yolo_nas_pose_loss import YoloNASPoseLo
 from super_gradients_tpu.training.losses.yolox_loss import YoloXDetectionLoss  # noqa: F401
 from super_gradients_tpu.training.losses.ssd_loss import SSDLoss  # noqa: F401
 from super_gradients_tpu.training.losses.kd_losses import KDLogitsLoss  # noqa: F401
+from super_gradients_tpu.training.losses.dekr_loss import DEKRLoss  # noqa: F401
 from super_gradients_tpu.training.losses.segmentation_losses import (  # noqa: F401
     DiceCEEdgeLoss,
     DiceLoss,
