@@ -260,3 +260,99 @@ class SegmentationDataset:
         if mask.ndim == 3:
             mask = mask[..., 0]
         return img, mask
+
+
+@register_dataset("PascalVOCDetectionDataset")
+class PascalVOCDetectionDataset(DetectionDataset):
+    """Pascal VOC XML annotations (ref pascal_voc_detection.py / pascal_voc_format_detection.py)."""
+
+    VOC_CLASSES = (
+        "aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car", "cat", "chair",
+        "cow", "diningtable", "dog", "horse", "motorbike", "person", "pottedplant",
+        "sheep", "sofa", "train", "tvmonitor",
+    )
+
+    def __init__(self, data_dir: str, images_dir: str = "JPEGImages", annotations_dir: str = "Annotations",
+                 image_set_file: Optional[str] = None, classes: Optional[Sequence[str]] = None, **kwargs):
+        self.data_dir = data_dir
+        self.images_dir = images_dir
+        self.annotations_dir = annotations_dir
+        self.image_set_file = image_set_file
+        self._voc_classes = list(classes or self.VOC_CLASSES)
+        super().__init__(all_classes_list=self._voc_classes, **kwargs)
+
+    def _setup(self):
+        import xml.etree.ElementTree as ET
+
+        self.all_classes_list = self._voc_classes
+        cls_to_id = {c: i for i, c in enumerate(self._voc_classes)}
+        ann_dir = os.path.join(self.data_dir, self.annotations_dir)
+        if self.image_set_file:
+            with open(os.path.join(self.data_dir, self.image_set_file)) as f:
+                ids = [line.strip().split()[0] for line in f if line.strip()]
+            xml_files = [f"{i}.xml" for i in ids]
+        else:
+            xml_files = sorted(f for f in os.listdir(ann_dir) if f.endswith(".xml"))
+        for xf in xml_files:
+            tree = ET.parse(os.path.join(ann_dir, xf))
+            root = tree.getroot()
+            fname = root.findtext("filename") or xf.replace(".xml", ".jpg")
+            boxes, labels = [], []
+            for obj in root.iter("object"):
+                name = obj.findtext("name")
+                if name not in cls_to_id:
+                    continue
+                if (obj.findtext("difficult") or "0") == "1":
+                    continue
+                bb = obj.find("bndbox")
+                x1, y1 = float(bb.findtext("xmin")), float(bb.findtext("ymin"))
+                x2, y2 = float(bb.findtext("xmax")), float(bb.findtext("ymax"))
+                boxes.append([x1, y1, x2, y2])
+                labels.append(cls_to_id[name])
+            self._annotations.append(
+                dict(img_path=os.path.join(self.data_dir, self.images_dir, fname),
+                     boxes_xyxy=np.asarray(boxes, np.float32).reshape(-1, 4),
+                     labels=np.asarray(labels, np.int32))
+            )
+
+
+# Cityscapes trainId remap table (public constants; ref cityscapes_dataset.py)
+CITYSCAPES_ID_TO_TRAIN_ID = {
+    7: 0, 8: 1, 11: 2, 12: 3, 13: 4, 17: 5, 19: 6, 20: 7, 21: 8, 22: 9, 23: 10,
+    24: 11, 25: 12, 26: 13, 27: 14, 28: 15, 31: 16, 32: 17, 33: 18,
+}
+
+
+@register_dataset("CityscapesDataset")
+class CityscapesDataset(SegmentationDataset):
+    """Cityscapes leftImg8bit/gtFine layout with labelId->trainId remap
+    (ref segmentation_datasets/cityscape_segmentation.py)."""
+
+    def __init__(self, root: str, split: str = "train", image_size: Tuple[int, int] = (512, 1024)):
+        self.root = root
+        self.image_size = tuple(image_size)
+        img_root = os.path.join(root, "leftImg8bit", split)
+        gt_root = os.path.join(root, "gtFine", split)
+        self.pairs: List[Tuple[str, str]] = []
+        for city in sorted(os.listdir(img_root)) if os.path.isdir(img_root) else []:
+            for f in sorted(os.listdir(os.path.join(img_root, city))):
+                if f.endswith("_leftImg8bit.png"):
+                    mask = f.replace("_leftImg8bit.png", "_gtFine_labelIds.png")
+                    self.pairs.append((os.path.join(img_root, city, f), os.path.join(gt_root, city, mask)))
+        lut = np.full(256, 255, np.int32)
+        for k, v in CITYSCAPES_ID_TO_TRAIN_ID.items():
+            lut[k] = v
+        self._lut = lut
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def __getitem__(self, i):
+        from PIL import Image
+
+        img_path, mask_path = self.pairs[i]
+        with Image.open(img_path) as im:
+            img = np.asarray(im.convert("RGB").resize((self.image_size[1], self.image_size[0]), Image.BILINEAR), np.float32) / 255.0
+        with Image.open(mask_path) as m:
+            mask = np.asarray(m.resize((self.image_size[1], self.image_size[0]), Image.NEAREST), np.int32)
+        return img, self._lut[np.clip(mask, 0, 255)]

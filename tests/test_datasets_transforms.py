@@ -172,3 +172,34 @@ def test_image_folder_dataset(tmp_path):
     assert len(ds) == 2 and ds.classes == ["a", "b"]
     img, label = ds[1]
     assert img.shape == (32, 32, 3) and label == 1
+
+
+def test_pascal_voc_dataset(tmp_path):
+    from super_gradients_tpu.training.datasets import PascalVOCDetectionDataset
+
+    (tmp_path / "JPEGImages").mkdir()
+    (tmp_path / "Annotations").mkdir()
+    Image.fromarray(np.zeros((50, 60, 3), np.uint8)).save(tmp_path / "JPEGImages" / "img1.jpg")
+    (tmp_path / "Annotations" / "img1.xml").write_text(
+        """<annotation><filename>img1.jpg</filename>
+        <object><name>dog</name><difficult>0</difficult>
+        <bndbox><xmin>5</xmin><ymin>10</ymin><xmax>30</xmax><ymax>40</ymax></bndbox></object>
+        <object><name>unknown_cls</name><bndbox><xmin>1</xmin><ymin>1</ymin><xmax>2</xmax><ymax>2</ymax></bndbox></object>
+        </annotation>"""
+    )
+    ds = PascalVOCDetectionDataset(data_dir=str(tmp_path), max_boxes=5)
+    img, t = ds[0]
+    valid = t[t[:, 0] >= 0]
+    assert len(valid) == 1  # unknown class skipped
+    assert valid[0, 0] == PascalVOCDetectionDataset.VOC_CLASSES.index("dog")
+    np.testing.assert_allclose(valid[0, 1:], [5, 10, 30, 40])
+
+
+def test_convert_recipe_to_code(tmp_path):
+    from super_gradients_tpu.convert_recipe_to_code import main
+
+    out = tmp_path / "script.py"
+    main(["--config-name", "cifar10_resnet", "-o", str(out)])
+    code = out.read_text()
+    assert "models.get" in code and "cifar10_resnet" in code
+    compile(code, str(out), "exec")  # syntactically valid
