@@ -63,6 +63,10 @@ def export_detection_model(
     except ValueError:
         pass  # already registered
 
+    if not hasattr(model, "_infer_module_and_vars"):
+        raise TypeError(
+            f"export_detection_model requires a DetectionModel; got task `{getattr(model, 'task', '?')}`"
+        )
     image_hw = image_hw or model._input_hw
     module, variables = model._infer_module_and_vars(fuse_model, bf16)
     in_dtype = jnp.bfloat16 if bf16 else jnp.float32
