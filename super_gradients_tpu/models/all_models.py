@@ -643,3 +643,43 @@ def dekr_w32(num_classes=None, arch_params=None, image_size: int = 512, **kw) ->
         config=cfg,
         class_names=COCO_POSE_KEYPOINTS if nj == 17 else None,
     )
+
+
+@register_model("dpn26")
+def dpn26(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.dpn_pnasnet_beit import DPN, dpn26_kwargs
+
+    nc = num_classes or 10
+    return _cls_spec(DPN(num_classes=nc, **dpn26_kwargs()), nc, (32, 32))
+
+
+@register_model("dpn92")
+def dpn92(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.dpn_pnasnet_beit import DPN, dpn92_kwargs
+
+    nc = num_classes or 10
+    return _cls_spec(DPN(num_classes=nc, **dpn92_kwargs()), nc, (32, 32))
+
+
+@register_model("pnasnet")
+def pnasnet(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.dpn_pnasnet_beit import PNASNet
+
+    nc = num_classes or 10
+    return _cls_spec(PNASNet(num_classes=nc), nc, (32, 32))
+
+
+@register_model("beit_base_patch16_224")
+def beit_base(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.dpn_pnasnet_beit import BEiT
+
+    nc = num_classes or 1000
+    return _cls_spec(BEiT(num_classes=nc), nc)
+
+
+@register_model("beit_large_patch16_224")
+def beit_large(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.dpn_pnasnet_beit import BEiT
+
+    nc = num_classes or 1000
+    return _cls_spec(BEiT(num_classes=nc, dim=1024, depth=24, heads=16), nc)

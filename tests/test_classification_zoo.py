@@ -83,3 +83,14 @@ def test_repvgg_classification_fuse_parity():
     fused_model = RepVGG(dataclasses.replace(cfg, fused="full"))
     got = fused_model.apply({"params": fused_params}, x, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("name,size", [
+    ("dpn26", 32),
+    ("pnasnet", 32),
+    ("beit_base_patch16_224", 224),
+])
+def test_last_classification_models(name, size):
+    model = models.get(name, num_classes=5)
+    out = model(jnp.ones((1, size, size, 3)))
+    assert out.shape == (1, 5)
