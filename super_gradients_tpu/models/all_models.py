@@ -683,3 +683,20 @@ def beit_large(num_classes=None, arch_params=None, **kw):
 
     nc = num_classes or 1000
     return _cls_spec(BEiT(num_classes=nc, dim=1024, depth=24, heads=16), nc)
+
+
+@register_model("shelfnet18_lw")
+@register_model("shelfnet34_lw")
+def shelfnet_lw(num_classes=None, arch_params=None, input_hw=(512, 1024), **kw):
+    from super_gradients_tpu.models.segmentation.shelfnet_laddernet import ShelfNet, ShelfNetCfg
+
+    nc = num_classes or 19
+    return _seg_spec(ShelfNet(ShelfNetCfg(num_classes=nc)), nc, tuple(input_hw))
+
+
+@register_model("laddernet_50")
+def laddernet_50(num_classes=None, arch_params=None, input_hw=(512, 1024), **kw):
+    from super_gradients_tpu.models.segmentation.shelfnet_laddernet import LadderNet, LadderNetCfg
+
+    nc = num_classes or 19
+    return _seg_spec(LadderNet(LadderNetCfg(num_classes=nc)), nc, tuple(input_hw))

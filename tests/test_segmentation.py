@@ -126,3 +126,20 @@ def test_more_seg_models(name, size):
     model = models.get(name, num_classes=6, input_hw=(size, size))
     out = model(jnp.ones((1, size, size, 3)))
     assert out.shape == (1, size, size, 6)
+
+
+@pytest.mark.parametrize("name", ["shelfnet18_lw", "laddernet_50"])
+def test_shelfnet_laddernet(name):
+    model = models.get(name, num_classes=6, input_hw=(64, 64))
+    out = model(jnp.ones((1, 64, 64, 3)))
+    assert out.shape == (1, 64, 64, 6)
+
+
+def test_shelfblock_weight_sharing():
+    """The S-block's two conv applications must share ONE kernel (ref shelfnet.py:35)."""
+    from super_gradients_tpu.models.segmentation.shelfnet_laddernet import ShelfBlock
+
+    blk = ShelfBlock(8)
+    vars_ = blk.init(jax.random.PRNGKey(0), jnp.ones((1, 8, 8, 8)))
+    conv_params = [k for k in vars_["params"] if "conv" in k.lower()]
+    assert len(conv_params) == 1  # a single shared kernel
