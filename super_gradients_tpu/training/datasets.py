@@ -356,3 +356,50 @@ class CityscapesDataset(SegmentationDataset):
         with Image.open(mask_path) as m:
             mask = np.asarray(m.resize((self.image_size[1], self.image_size[0]), Image.NEAREST), np.int32)
         return img, self._lut[np.clip(mask, 0, 255)]
+
+
+@register_dataset("COCOPoseEstimationDataset")
+class COCOPoseEstimationDataset:
+    """COCO person_keypoints json → padded [max_poses, 5+3K] targets
+    (ref pose_estimation_datasets/coco_keypoints.py; stdlib-json parsing)."""
+
+    def __init__(self, data_dir: str, json_annotation_file: str, images_dir: str = "",
+                 max_poses: int = 30, num_joints: int = 17, transforms: Optional[Sequence] = None,
+                 min_visible_joints: int = 1):
+        from super_gradients_tpu.training.transforms.keypoints import ComposeKeypointTransforms
+
+        self.data_dir = data_dir
+        self.images_dir = images_dir
+        self.max_poses = max_poses
+        self.num_joints = num_joints
+        self.transforms = ComposeKeypointTransforms(transforms or [])
+        with open(os.path.join(data_dir, json_annotation_file)) as f:
+            coco = json.load(f)
+        anns_by_img: Dict[int, List] = {}
+        for a in coco.get("annotations", []):
+            if a.get("iscrowd", 0) or a.get("num_keypoints", 0) < min_visible_joints:
+                continue
+            anns_by_img.setdefault(a["image_id"], []).append(a)
+        self.items = []
+        for img in coco.get("images", []):
+            anns = anns_by_img.get(img["id"], [])
+            if not anns:
+                continue
+            self.items.append((os.path.join(data_dir, images_dir, img["file_name"]), anns))
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        from super_gradients_tpu.training.transforms.keypoints import PoseSample
+
+        path, anns = self.items[i]
+        image = _load_image(path)
+        boxes, joints = [], []
+        for a in anns:
+            x, y, w, h = a["bbox"]
+            boxes.append([x, y, x + w, y + h])
+            joints.append(np.asarray(a["keypoints"], np.float32).reshape(self.num_joints, 3))
+        sample = PoseSample(image, np.asarray(boxes, np.float32), np.stack(joints))
+        sample = self.transforms(sample)
+        return np.asarray(sample.image, np.float32), sample.to_padded_targets(self.max_poses)

@@ -53,3 +53,15 @@ class FocalLoss:
         alpha_t = self.alpha * onehot + (1 - self.alpha) * (1 - onehot)
         loss = (alpha_t * (1 - p_t) ** self.gamma * ce).sum(-1).mean()
         return loss, {"FocalLoss": loss}
+
+
+@register_loss("RSquaredLoss")
+class RSquaredLoss:
+    """1 - R² regression loss (ref losses/r_squared_loss.py)."""
+
+    def __call__(self, outputs: jnp.ndarray, targets: jnp.ndarray) -> Tuple[jnp.ndarray, Dict]:
+        outputs = outputs.reshape(targets.shape)
+        ss_res = jnp.sum((targets - outputs) ** 2)
+        ss_tot = jnp.sum((targets - jnp.mean(targets)) ** 2)
+        loss = ss_res / (ss_tot + 1e-9)
+        return loss, {"RSquaredLoss": loss}

@@ -199,3 +199,32 @@ class DiceCEEdgeLoss:
             aux_total = aux_total + w * l_aux
         loss = loss + aux_total
         return loss, {"loss_ce": l_main_ce, "loss_dice": l_dice}
+
+
+@register_loss("CWDKlDivLoss")
+@register_loss("SegKDLoss")
+class ChannelWiseKnowledgeDistillationLoss:
+    """Channel-wise distillation for segmentation (ref losses/cwd_loss.py):
+    KL between per-channel spatial softmaxes of student and teacher logits,
+    temperature-scaled."""
+
+    def __init__(self, temperature: float = 4.0, normalization_mode: str = "channel_wise"):
+        self.temperature = temperature
+
+    def __call__(self, outputs, targets=None) -> Tuple[jnp.ndarray, Dict]:
+        # outputs: KDOutput(student_logits [B,H,W,C], teacher_logits [B,H,W,C])
+        s, t = outputs.student_output, outputs.teacher_output
+        if isinstance(s, (tuple, list)):
+            s = s[0]
+        if isinstance(t, (tuple, list)):
+            t = t[0]
+        tau = self.temperature
+        b, h, w, c = s.shape
+        s_flat = s.reshape(b, h * w, c) / tau
+        t_flat = t.reshape(b, h * w, c) / tau
+        # softmax over the SPATIAL dim per channel
+        s_logp = jax.nn.log_softmax(s_flat, axis=1)
+        t_p = jax.nn.softmax(t_flat, axis=1)
+        kl = jnp.sum(t_p * (jnp.log(t_p + 1e-12) - s_logp), axis=1)  # [B, C]
+        loss = jnp.mean(kl) * (tau**2)
+        return loss, {"cwd_loss": loss}
