@@ -17,6 +17,7 @@ from super_gradients_tpu.training.metrics.detection import (  # noqa: F401
 )
 from super_gradients_tpu.training.metrics.segmentation import Dice, IoU, PixelAccuracy  # noqa: F401
 from super_gradients_tpu.training.metrics.pose_estimation import PoseEstimationMetrics  # noqa: F401
+from super_gradients_tpu.training.metrics.depth import DeltaMetric, DepthMAE, DepthMSE, DepthRMSE  # noqa: F401
 from super_gradients_tpu.common.registry import METRICS
 
 

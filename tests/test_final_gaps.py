@@ -52,3 +52,30 @@ def test_r_squared_loss():
     assert abs(float(perfect)) < 1e-6
     bad, _ = RSquaredLoss()(jnp.zeros(4), y)
     assert float(bad) > 0.5
+
+
+def test_depth_metrics():
+    from super_gradients_tpu.training.metrics.depth import DeltaMetric, DepthMAE, DepthRMSE
+
+    pred = jnp.asarray([[1.0, 2.0, 3.0, -1.0]])
+    gt = jnp.asarray([[1.0, 2.5, 3.0, -1.0]])
+    mae = DepthMAE()
+    s = mae.update(mae.init(), pred, gt)
+    # ignore_val -1 masked out; mean |err| over 3 valid px... -1 equals ignore so masked
+    assert abs(mae.compute(s)["DepthMAE"] - 0.5 / 3) < 1e-5
+    d = DeltaMetric()
+    sd = d.update(d.init(), pred, gt)
+    assert 0 <= d.compute(sd)["Delta1"] <= 1
+
+
+def test_object_names_match_registries():
+    from super_gradients_tpu import models  # ensures registration
+    from super_gradients_tpu.common.object_names import Losses, Metrics, Models
+    from super_gradients_tpu.common.registry import ARCHITECTURES, LOSSES, METRICS
+
+    for cls, reg in [(Models, ARCHITECTURES), (Losses, LOSSES), (Metrics, METRICS)]:
+        for attr in dir(cls):
+            if attr.startswith("_"):
+                continue
+            name = getattr(cls, attr)
+            assert name in reg, f"{cls.__name__}.{attr} = `{name}` not registered"
