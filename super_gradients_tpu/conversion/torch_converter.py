@@ -31,6 +31,14 @@ logger = get_logger(__name__)
 
 Rules = Sequence[Tuple[str, str]]
 
+
+class StrictLoad:
+    """Checkpoint-load strictness modes (ref common/data_types/enum/strict_load.py:4-22)."""
+
+    OFF = "off"  # keep template values for misses
+    ON = "on"  # raise on any miss
+    NO_KEY_MATCHING = "no_key_matching"  # match remaining leaves to unused torch keys by shape, in order
+
 # applied to dotted flax path AFTER model-specific rules
 _GENERIC_RULES: Rules = (
     (r"_(\d+)(?=\.|$)", r".\1"),  # bottlenecks_0 -> bottlenecks.0, layer1_0 -> layer1.0
@@ -130,6 +138,7 @@ def convert_state_dict(
 
     out_flat: Dict[Tuple[str, ...], Any] = {}
     missing: List[str] = []
+    missing_paths: List[Tuple[Tuple[str, ...], Any]] = []
     used_torch_keys = set()
 
     for collection, tree in variables_template.items():
@@ -143,12 +152,35 @@ def convert_state_dict(
                 used_torch_keys.add(torch_key)
             else:
                 missing.append(f"{'/'.join(path)} (wanted torch key `{torch_key}`)")
+                missing_paths.append((path, leaf_val))
                 out_flat[path] = leaf_val
+
+    mode = strict if isinstance(strict, str) else (StrictLoad.ON if strict else StrictLoad.OFF)
+
+    if mode == StrictLoad.NO_KEY_MATCHING and missing_paths:
+        # shape-based sequential matching against still-unused torch keys
+        # (ref checkpoint_utils.py:79 adaptive solver)
+        remaining = [(k, v) for k, v in sd.items() if k not in used_torch_keys and not k.endswith("num_batches_tracked")]
+        matched = 0
+        for path, leaf_val in missing_paths:
+            model_path = path[1:]
+            for k, v in remaining:
+                try:
+                    arr = _transform(_to_numpy(v), tuple(np.shape(leaf_val)), model_path)
+                except ValueError:
+                    continue
+                out_flat[path] = arr
+                used_torch_keys.add(k)
+                remaining = [(kk, vv) for kk, vv in remaining if kk != k]
+                matched += 1
+                break
+        logger.info(f"NO_KEY_MATCHING: shape-matched {matched}/{len(missing_paths)} leaves")
+        missing = []  # lenient beyond this point (unmatched leaves keep template values)
 
     unused = [k for k in sd if k not in used_torch_keys and not k.endswith("num_batches_tracked")]
     if missing:
         msg = f"{len(missing)} flax leaves had no torch counterpart, e.g.:\n  " + "\n  ".join(missing[:10])
-        if strict:
+        if mode == StrictLoad.ON:
             raise KeyError(msg + (f"\nUnused torch keys e.g.: {unused[:10]}" if unused else ""))
         logger.warning(msg)
     if unused:

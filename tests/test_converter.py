@@ -134,3 +134,22 @@ def test_strict_mode_reports_missing():
     # non-strict keeps template values
     out = convert_state_dict({}, template, rules=YOLO_NAS_RULES, strict=False)
     assert "params" in out
+
+
+def test_no_key_matching_mode_recovers_by_shape():
+    """StrictLoad.NO_KEY_MATCHING: unmatched torch keys map to leaves by shape order
+    (reference adaptive solver, checkpoint_utils.py:79)."""
+    from super_gradients_tpu.conversion.torch_converter import StrictLoad, convert_state_dict
+
+    fm = ResNet(num_blocks=(1, 1, 1, 1), num_classes=4, block="basic")
+    template = fm.init(jax.random.PRNGKey(0), jnp.ones((1, 32, 32, 3)))
+
+    tm = TorchResNet18.__new__(TorchResNet18)  # skip init; build a rename victim manually
+    import torch.nn as tnn
+
+    # a state dict with WRONG names but right shapes for the stem conv
+    sd = {"totally.renamed.stem": __import__("torch").randn(64, 3, 7, 7)}
+    out = convert_state_dict(sd, template, rules=RESNET_RULES, strict=StrictLoad.NO_KEY_MATCHING)
+    got = np.asarray(out["params"]["conv1"]["kernel"])
+    ref = sd["totally.renamed.stem"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(got, ref)

@@ -79,3 +79,14 @@ def test_object_names_match_registries():
                 continue
             name = getattr(cls, attr)
             assert name in reg, f"{cls.__name__}.{attr} = `{name}` not registered"
+
+
+def test_dataset_statistics_logger():
+    from super_gradients_tpu.training import dataloaders
+    from super_gradients_tpu.training.dataset_statistics import DatasetStatisticsLogger
+
+    loader = dataloaders.get("detection_test_dataloader", dataset_params={"image_size": (64, 64), "dataset_size": 16, "batch_size": 8, "num_classes": 5})
+    stats = DatasetStatisticsLogger().analyze(loader, max_batches=2)
+    assert stats["images_analyzed"] == 16
+    assert stats["total_boxes"] > 0
+    assert stats["box_width_mean"] > 0
