@@ -201,6 +201,42 @@ class DiceCEEdgeLoss:
         return loss, {"loss_ce": l_main_ce, "loss_dice": l_dice}
 
 
+@register_loss("MaskAttentionLoss")
+class MaskAttentionLoss:
+    """Pixel mask-attention wrapper (ref losses/mask_loss.py:7-56): total =
+    ``w0 * reduce(per_pixel_loss) + w1 * reduce(per_pixel_loss over mask==1)``.
+
+    ``criterion`` must return an UNREDUCED per-pixel loss map (e.g.
+    :func:`pixel_cross_entropy`). The mask is broadcast over channels only; when no
+    foreground pixels exist the mask term is 0 (matches the reference numel()==0
+    branch — here a masked mean with a clamped denominator).
+    """
+
+    def __init__(self, criterion=None, loss_weights: Sequence[float] = (1.0, 1.0), ignore_index: int = 255):
+        if len(loss_weights) != 2:
+            raise ValueError(f"loss_weights must have 2 values, found {len(loss_weights)}")
+        if loss_weights[1] <= 0:
+            raise ValueError("mask loss weight must be positive; use the bare criterion otherwise")
+        self.criterion = criterion or (lambda logits, t: pixel_cross_entropy(logits, t, ignore_index))
+        self.loss_weights = tuple(loss_weights)
+        self.ignore_index = ignore_index
+
+    def __call__(self, outputs, targets, mask=None) -> Tuple[jnp.ndarray, Dict]:
+        logits = outputs[0] if isinstance(outputs, (tuple, list)) else outputs
+        if mask is None:  # allow (targets, mask) packed as a tuple
+            targets, mask = targets
+        per_pixel = self.criterion(logits, targets)  # [B, H, W]
+        if mask.ndim == per_pixel.ndim + 1:  # [B, H, W, 1] -> [B, H, W]
+            mask = mask[..., 0]
+        mask = mask.astype(jnp.float32)
+        valid = _valid_mask(targets, self.ignore_index)
+        base = per_pixel.sum() / jnp.maximum(valid.sum(), 1.0)
+        fg = mask * valid
+        mask_term = (per_pixel * fg).sum() / jnp.maximum(fg.sum(), 1.0)
+        loss = self.loss_weights[0] * base + self.loss_weights[1] * mask_term
+        return loss, {"loss_base": base, "loss_mask": mask_term}
+
+
 @register_loss("CWDKlDivLoss")
 @register_loss("SegKDLoss")
 class ChannelWiseKnowledgeDistillationLoss:
