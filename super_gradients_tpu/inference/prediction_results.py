@@ -140,3 +140,20 @@ class ImagesPredictions:
         os.makedirs(output_folder, exist_ok=True)
         for i, p in enumerate(self._images_prediction_lst):
             p.save(os.path.join(output_folder, f"pred_{i}.jpg"), **kwargs)
+
+
+class VideoPredictions(ImagesPredictions):
+    """Per-frame predictions of a video (reference VideoPredictions): ``draw()``
+    yields annotated frames; ``save(path.mp4|.gif)`` writes the rendered video."""
+
+    def __init__(self, predictions: List, fps: int):
+        super().__init__(predictions)
+        self.fps = fps
+
+    def draw(self, **kwargs):
+        return [p.draw(**kwargs) for p in self._images_prediction_lst]
+
+    def save(self, output_path: str, **kwargs):
+        from super_gradients_tpu.inference.video import save_video
+
+        save_video(output_path, self.draw(**kwargs), self.fps)

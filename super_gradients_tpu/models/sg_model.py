@@ -116,6 +116,39 @@ class SgModel:
     def predict(self, images, **kwargs):
         raise NotImplementedError(f"predict() is not implemented for task `{self.task}`")
 
+    def predict_video(self, video_path: str, batch_size: int = 32, max_frames: Optional[int] = None, **kwargs):
+        """Per-frame predict over a video file (ref pipelines.py predict_video).
+
+        Frames stream lazily from disk in ``batch_size`` chunks through the same
+        fused predict program as images; returns :class:`VideoPredictions` whose
+        ``save()`` re-renders the annotated video at the source FPS.
+        """
+        from super_gradients_tpu.inference.prediction_results import VideoPredictions
+        from super_gradients_tpu.inference.video import lazy_load_video
+
+        frames, fps, _ = lazy_load_video(video_path, max_frames)
+        preds: list = []
+        buf: list = []
+        for f in frames:
+            buf.append(f)
+            if len(buf) == batch_size:
+                preds.extend(list(self.predict(buf, batch_size=batch_size, **kwargs)))
+                buf = []
+        if buf:
+            preds.extend(list(self.predict(buf, batch_size=batch_size, **kwargs)))
+        return VideoPredictions(preds, fps)
+
+    def predict_webcam(self, capture: int = 0, **kwargs) -> None:
+        """Live webcam predict+draw loop, `q` to quit (ref pipelines.py predict_webcam
+        + media/stream.py WebcamStreaming)."""
+        from super_gradients_tpu.inference.stream import WebcamStreaming
+
+        def process(frame):
+            return self.predict([frame], batch_size=1, **kwargs)[0].draw()
+
+        WebcamStreaming(window_name=f"{type(self).__name__} predictions",
+                        frame_processing_fn=process).run()
+
     # --------------------------------------------------------------- internal
 
     def _prep_host_batches(self, images, batch_size: int):
@@ -247,6 +280,15 @@ class DetectionModel(SgModel):
     ) -> ImagesPredictions:
         """Run the fused predict pipeline (ref ``model.predict``,
         customizable_detector.py:281-323 + pipelines.py:102-236)."""
+        from super_gradients_tpu.inference.video import includes_video_extension
+
+        if isinstance(images, str) and includes_video_extension(images):
+            return self.predict_video(
+                images, batch_size=batch_size, iou=iou, conf=conf,
+                max_predictions=max_predictions, nms_top_k=nms_top_k,
+                multi_label_per_box=multi_label_per_box, class_agnostic_nms=class_agnostic_nms,
+                nms_mode=nms_mode, fuse_model=fuse_model, bf16=bf16,
+            )
         iou = iou if iou is not None else self._default_nms_iou
         conf = conf if conf is not None else self._default_nms_conf
         max_predictions = max_predictions or self._default_max_predictions
