@@ -137,3 +137,27 @@ def test_registered_in_transform_registry():
     for name in ("SegResize", "SegRandomFlip", "SegRandomRescale", "SegCropImageAndMask",
                  "SegPadShortToCropSize", "SegColorJitter", "SegNormalize"):
         assert name in TRANSFORMS
+
+
+def test_depth_sample_and_transforms():
+    from super_gradients_tpu.training.transforms.depth import (
+        DepthEstimationSample,
+        DepthHorizontalFlip,
+        DepthRandomCrop,
+        DepthResize,
+    )
+
+    img = np.random.RandomState(0).randint(0, 255, (40, 60, 3)).astype(np.float32)
+    dm = np.random.RandomState(1).rand(40, 60, 1).astype(np.float32) * 10
+    s = DepthEstimationSample(img, dm)
+    assert s.depth_map.shape == (40, 60)  # [H,W,1] squeezed
+    with pytest.raises(RuntimeError):
+        DepthEstimationSample(img, np.zeros((40, 60, 3), np.float32))
+
+    random.seed(0)
+    s2 = DepthHorizontalFlip(prob=1.0)(s)
+    np.testing.assert_allclose(s2.depth_map, s.depth_map[:, ::-1])
+    s3 = DepthResize(h=20, w=30)(s)
+    assert s3.depth_map.shape == (20, 30) and abs(s3.depth_map.mean() - s.depth_map.mean()) < 0.5
+    s4 = DepthRandomCrop(16)(s)
+    assert s4.depth_map.shape == (16, 16) and s4.image.shape == (16, 16, 3)
