@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = int(os.environ.get("BENCH_BATCH", 64))
+BATCH = int(os.environ.get("BENCH_BATCH", 128))  # throughput peak of the b∈{64,96,128,192,256} sweep
 IMAGE = int(os.environ.get("BENCH_IMAGE", 640))
 MODEL = os.environ.get("BENCH_MODEL", "yolo_nas_m")
 ITERS = int(os.environ.get("BENCH_ITERS", 30))
