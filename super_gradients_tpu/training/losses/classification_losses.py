@@ -55,6 +55,28 @@ class FocalLoss:
         return loss, {"FocalLoss": loss}
 
 
+@register_loss("MSE")
+class MSELoss:
+    """Mean squared error (ref all_losses Losses.MSE → torch.nn.MSELoss)."""
+
+    def __call__(self, outputs: jnp.ndarray, targets: jnp.ndarray) -> Tuple[jnp.ndarray, Dict]:
+        loss = jnp.mean((outputs - targets.reshape(outputs.shape)) ** 2)
+        return loss, {"MSE": loss}
+
+
+@register_loss("RescoringLoss")
+class RescoringLoss:
+    """BCE-with-logits between predicted pose-rescoring scores and target OKS
+    (ref rescoring_loss.py:11-22). ``outputs`` is ``(poses, score_logits)``."""
+
+    def __call__(self, outputs, targets) -> Tuple[jnp.ndarray, Dict]:
+        logits = outputs[1] if isinstance(outputs, (tuple, list)) else outputs
+        z = logits.astype(jnp.float32)
+        t = targets.reshape(z.shape).astype(jnp.float32)
+        loss = (jnp.maximum(z, 0) - z * t + jnp.log1p(jnp.exp(-jnp.abs(z)))).mean()
+        return loss, {"RescoringLoss": loss}
+
+
 @register_loss("RSquaredLoss")
 class RSquaredLoss:
     """1 - R² regression loss (ref losses/r_squared_loss.py)."""

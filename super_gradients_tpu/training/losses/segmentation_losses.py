@@ -201,6 +201,65 @@ class DiceCEEdgeLoss:
         return loss, {"loss_ce": l_main_ce, "loss_dice": l_dice}
 
 
+@register_loss("BCEDiceLoss")
+class BCEDiceLoss:
+    """Weighted BCE + Dice on binary segmentation logits (ref bce_dice_loss.py):
+    ``loss = w0 * BCEWithLogits + w1 * BinaryDice``."""
+
+    def __init__(self, loss_weights: Sequence[float] = (0.5, 0.5), logits: bool = True):
+        self.loss_weights = tuple(loss_weights)
+
+    def __call__(self, outputs, targets) -> Tuple[jnp.ndarray, Dict]:
+        logits = outputs[0] if isinstance(outputs, (tuple, list)) else outputs
+        t = targets.astype(jnp.float32)
+        z = logits[..., 0] if logits.ndim == t.ndim + 1 else logits
+        bce = (jnp.maximum(z, 0) - z * t + jnp.log1p(jnp.exp(-jnp.abs(z)))).mean()
+        dice, _ = BinaryDiceLoss()(z[..., None] if z.ndim == t.ndim else logits, t)
+        loss = self.loss_weights[0] * bce + self.loss_weights[1] * dice
+        return loss, {"bce": bce, "dice": dice}
+
+
+@register_loss("ShelfNetOHEMLoss")
+class ShelfNetOHEMLoss(OhemCELoss):
+    """OHEM-CE summed over all ShelfNet output heads (ref shelfnet_ohem_loss.py:9-29)."""
+
+    def __init__(self, threshold: float = 0.7, mining_percent: float = 1e-4, ignore_lb: int = 255):
+        super().__init__(threshold=threshold, mining_percent=mining_percent, ignore_lb=ignore_lb)
+
+    def __call__(self, outputs, targets) -> Tuple[jnp.ndarray, Dict]:
+        outputs = outputs if isinstance(outputs, (tuple, list)) else (outputs,)
+        losses = [super(ShelfNetOHEMLoss, self).__call__(o, targets)[0] for o in outputs]
+        total = sum(losses)
+        return total, {f"ohem_{i}": l for i, l in enumerate(losses)}
+
+
+@register_loss("ShelfNetSemanticEncodingLoss")
+class ShelfNetSemanticEncodingLoss:
+    """CE on two seg heads + BCE on the semantic-encoding (global class presence)
+    head (ref shelfnet_semantic_encoding_loss.py:10-39). Outputs are
+    ``(pred1 [B,H,W,C], se_pred [B,C], pred2 [B,H,W,C])``; the SE target is the
+    per-image class-presence indicator derived from the labels."""
+
+    def __init__(self, se_weight: float = 0.2, nclass: int = 21, aux_weight: float = 0.4,
+                 ignore_index: int = -1):
+        self.se_weight, self.nclass, self.aux_weight = se_weight, nclass, aux_weight
+        self.ignore_index = ignore_index
+
+    def __call__(self, outputs, targets) -> Tuple[jnp.ndarray, Dict]:
+        pred1, se_pred, pred2 = outputs
+        ce = SegCrossEntropyLoss(self.ignore_index)
+        loss1, _ = ce(pred1, targets)
+        loss2, _ = ce(pred2, targets)
+        # class-presence indicator per image: 1 if any pixel carries the class
+        onehot = jax.nn.one_hot(jnp.clip(targets, 0, self.nclass - 1), self.nclass)
+        valid = _valid_mask(targets, self.ignore_index)[..., None]
+        se_target = ((onehot * valid).sum(axis=(1, 2)) > 0).astype(jnp.float32)  # [B, C]
+        p = jax.nn.sigmoid(se_pred.astype(jnp.float32))
+        loss3 = -(se_target * jnp.log(p + 1e-12) + (1 - se_target) * jnp.log(1 - p + 1e-12)).mean()
+        total = loss1 + self.aux_weight * loss2 + self.se_weight * loss3
+        return total, {"ce_main": loss1, "ce_aux": loss2, "se_bce": loss3}
+
+
 @register_loss("MaskAttentionLoss")
 class MaskAttentionLoss:
     """Pixel mask-attention wrapper (ref losses/mask_loss.py:7-56): total =
