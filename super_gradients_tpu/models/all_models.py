@@ -700,3 +700,407 @@ def laddernet_50(num_classes=None, arch_params=None, input_hw=(512, 1024), **kw)
 
     nc = num_classes or 19
     return _seg_spec(LadderNet(LadderNetCfg(num_classes=nc)), nc, tuple(input_hw))
+
+
+# -------------------------------------------- variant + custom_* completion
+# (reference object_names Models entries not covered above; each is a size
+#  variant or an arch_params-parameterized "custom" constructor)
+
+
+for _v in ["b5", "b6", "b7", "b8", "l2"]:
+    register_model(f"efficientnet_{_v}")(lambda num_classes=None, arch_params=None, _v=_v, **kw: _efficientnet(_v, num_classes, arch_params, **kw))
+
+
+@register_model("CustomizedEfficientnet")
+def customized_efficientnet(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.efficientnet import EfficientNet
+
+    ap = arch_params or {}
+    nc = num_classes or ap.get("num_classes", 1000)
+    return _cls_spec(
+        EfficientNet(
+            num_classes=nc,
+            width_coeff=ap.get("width_coefficient", 1.0),
+            depth_coeff=ap.get("depth_coefficient", 1.0),
+            dropout=ap.get("dropout_rate", 0.2),
+        ),
+        nc,
+        (ap.get("res", 224), ap.get("res", 224)),
+    )
+
+
+def _densenet(growth, blocks, init_feats, num_classes=None, **kw):
+    from super_gradients_tpu.models.classification.misc_models import DenseNet
+
+    nc = num_classes or 1000
+    return _cls_spec(DenseNet(num_classes=nc, growth_rate=growth, block_config=tuple(blocks), init_features=init_feats), nc)
+
+
+@register_model("densenet161")
+def densenet161(num_classes=None, arch_params=None, **kw):
+    return _densenet(48, (6, 12, 36, 24), 96, num_classes, **kw)
+
+
+@register_model("densenet169")
+def densenet169(num_classes=None, arch_params=None, **kw):
+    return _densenet(32, (6, 12, 32, 32), 64, num_classes, **kw)
+
+
+@register_model("densenet201")
+def densenet201(num_classes=None, arch_params=None, **kw):
+    return _densenet(32, (6, 12, 48, 32), 64, num_classes, **kw)
+
+
+@register_model("custom_densenet")
+def custom_densenet(num_classes=None, arch_params=None, **kw):
+    ap = arch_params or {}
+    return _densenet(
+        ap.get("growth_rate", 32), tuple(ap.get("structure", (6, 12, 24, 16))),
+        ap.get("num_init_features", 64), num_classes or ap.get("num_classes"), **kw
+    )
+
+
+for _v in ["repvgg_b1", "repvgg_b2", "repvgg_b3", "repvgg_d2se"]:
+    register_model(_v)(lambda num_classes=None, arch_params=None, _v=_v, **kw: _repvgg(_v, num_classes, arch_params, **kw))
+
+
+@register_model("repvgg_custom")
+def repvgg_custom(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.repvgg import RepVGG, RepVGGCfg
+
+    ap = arch_params or {}
+    nc = num_classes or ap.get("num_classes", 1000)
+    cfg = RepVGGCfg(
+        num_classes=nc,
+        blocks_per_stage=tuple(ap.get("struct", (2, 4, 14, 1))),
+        width_a=ap.get("width_multiplier", [0.75, 2.5])[0] if "width_multiplier" in ap else ap.get("width_a", 0.75),
+        width_b=ap.get("width_multiplier", [0.75, 2.5])[-1] if "width_multiplier" in ap else ap.get("width_b", 2.5),
+    )
+    return _cls_spec(RepVGG(cfg), nc)
+
+
+@register_model("resnext101")
+def resnext101(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.misc_models import ResNeXt
+
+    nc = num_classes or 1000
+    return _cls_spec(ResNeXt(num_classes=nc, num_blocks=(3, 4, 23, 3)), nc)
+
+
+_SHUFFLENET_WIDTHS = {
+    "shufflenet_v2_x0_5": (48, 96, 192),
+    "shufflenet_v2_x1_5": (176, 352, 704),
+    "shufflenet_v2_x2_0": (244, 488, 976),
+}
+
+for _v, _ch in _SHUFFLENET_WIDTHS.items():
+    def _shufflenet(num_classes=None, arch_params=None, _ch=_ch, **kw):
+        from super_gradients_tpu.models.classification.misc_models import ShuffleNetV2
+
+        nc = num_classes or 1000
+        return _cls_spec(ShuffleNetV2(num_classes=nc, stage_channels=_ch), nc)
+
+    register_model(_v)(_shufflenet)
+
+
+@register_model("shufflenet_v2_custom5")
+def shufflenet_v2_custom5(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.misc_models import ShuffleNetV2
+
+    ap = arch_params or {}
+    nc = num_classes or ap.get("num_classes", 1000)
+    return _cls_spec(ShuffleNetV2(num_classes=nc, stage_channels=tuple(ap.get("channels", (48, 96, 192)))), nc)
+
+
+@register_model("vit_huge")
+def vit_huge_model(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.vit import ViT
+
+    nc = num_classes or 1000
+    return _cls_spec(ViT(num_classes=nc, dim=1280, depth=32, heads=16), nc)
+
+
+@register_model("darknet53")
+def darknet53(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.darknet import Darknet53
+
+    nc = num_classes or 1000
+    return _cls_spec(Darknet53(num_classes=nc), nc)
+
+
+@register_model("csp_darknet53")
+def csp_darknet53(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.darknet import CSPDarknet53
+
+    nc = num_classes or 1000
+    return _cls_spec(CSPDarknet53(num_classes=nc), nc)
+
+
+def _stdc_cls(cfg, num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.segmentation.stdc import STDCClassification
+
+    ap = arch_params or {}
+    nc = num_classes or ap.get("num_classes", 1000)
+    return _cls_spec(STDCClassification(backbone_cfg=cfg, num_classes=nc, dropout=ap.get("dropout", 0.2)), nc)
+
+
+@register_model("stdc1_classification")
+def stdc1_classification(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.segmentation.stdc import STDC1_CFG
+
+    return _stdc_cls(STDC1_CFG, num_classes, arch_params, **kw)
+
+
+@register_model("stdc2_classification")
+@register_model("stdc_custom_cls")
+def stdc2_classification(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.segmentation.stdc import STDC2_CFG
+
+    return _stdc_cls(STDC2_CFG, num_classes, arch_params, **kw)
+
+
+@register_model("stdc_custom")
+def stdc_custom(num_classes=None, arch_params=None, input_hw=(512, 1024), **kw):
+    from super_gradients_tpu.models.segmentation.stdc import (
+        STDC1_CFG, STDC2_CFG, STDCSegCfg, STDCSegmentation,
+    )
+
+    ap = arch_params or {}
+    nc = num_classes or ap.get("num_classes", 19)
+    backbone = STDC2_CFG if ap.get("backbone", "stdc1") == "stdc2" else STDC1_CFG
+    cfg = STDCSegCfg(backbone=backbone, num_classes=nc, use_aux_heads=ap.get("use_aux_heads", True))
+    return _seg_spec(STDCSegmentation(cfg), nc, tuple(input_hw), cfg)
+
+
+@register_model("mobile_net_v2_135")
+def mobile_net_v2_135(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.mobilenet import MobileNetV2
+
+    nc = num_classes or 1000
+    return _cls_spec(MobileNetV2(num_classes=nc, width_mult=1.35), nc)
+
+
+@register_model("custom_mobilenet_v2")
+def custom_mobilenet_v2(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.mobilenet import MobileNetV2
+
+    ap = arch_params or {}
+    nc = num_classes or ap.get("num_classes", 1000)
+    return _cls_spec(MobileNetV2(num_classes=nc, width_mult=ap.get("width_mult", 1.0)), nc)
+
+
+@register_model("mobilenet_v3_custom")
+def mobilenet_v3_custom(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.mobilenet import MobileNetV3
+
+    ap = arch_params or {}
+    nc = num_classes or ap.get("num_classes", 1000)
+    return _cls_spec(
+        MobileNetV3(num_classes=nc, width_mult=ap.get("width_mult", 1.0), mode=ap.get("mode", "large")), nc
+    )
+
+
+@register_model("custom_resnet")
+@register_model("custom_resnet50")
+def custom_resnet(num_classes=None, arch_params=None, **kw):
+    ap = arch_params or {}
+    blocks = tuple(ap.get("structure", (3, 4, 6, 3)))
+    return _resnet_spec(blocks, ap.get("block", "bottleneck"), "custom_resnet", num_classes, ap, **kw)
+
+
+@register_model("resnet50_3343")
+def resnet50_3343(num_classes=None, arch_params=None, **kw):
+    return _resnet_spec([3, 3, 4, 3], "bottleneck", "resnet50_3343", num_classes, arch_params, **kw)
+
+
+@register_model("custom_resnet_cifar")
+@register_model("custom_resnet50_cifar")
+def custom_resnet_cifar(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.resnet import CifarResNet
+
+    ap = arch_params or {}
+    nc = num_classes or ap.get("num_classes", 10)
+    return ModelSpec(
+        module=CifarResNet(num_blocks=tuple(ap.get("structure", (2, 2, 2, 2))), num_classes=nc,
+                           block=ap.get("block", "basic")),
+        task="classification",
+        num_classes=nc,
+        input_hw=(32, 32),
+    )
+
+
+@register_model("custom_regnet")
+@register_model("custom_anynet")
+@register_model("nas_regnet")
+def custom_regnet(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.classification.regnet import RegNetY
+
+    ap = arch_params or {}
+    nc = num_classes or ap.get("num_classes", 1000)
+    return _cls_spec(
+        RegNetY(
+            num_classes=nc,
+            initial_width=ap.get("initial_width", 24),
+            slope=ap.get("slope", 36.44),
+            quantized_param=ap.get("quantized_param", 2.49),
+            depth=ap.get("network_depth", ap.get("depth", 13)),
+            group_width=ap.get("group_width", 8),
+            se_ratio=ap.get("se_ratio", 0.25),
+        ),
+        nc,
+    )
+
+
+@register_model("custom_ddrnet_23")
+def custom_ddrnet_23(num_classes=None, arch_params=None, input_hw=(512, 1024), **kw):
+    from super_gradients_tpu.models.segmentation.ddrnet import DDRNet, DDRNetCfg
+
+    ap = arch_params or {}
+    nc = num_classes or ap.get("num_classes", 19)
+    cfg = DDRNetCfg(
+        num_classes=nc,
+        planes=ap.get("planes", 64),
+        highres_planes=ap.get("highres_planes", 128),
+        head_planes=ap.get("head_planes", 128),
+        use_aux_heads=ap.get("use_aux_heads", False),
+    )
+    return _seg_spec(DDRNet(cfg), nc, tuple(input_hw), cfg)
+
+
+@register_model("custom_yolox")
+def custom_yolox(num_classes=None, arch_params=None, image_size: int = 640, **kw):
+    from super_gradients_tpu.models.detection.yolox import YoloX, YoloXConfig
+
+    ap = arch_params or {}
+    nc = num_classes or ap.get("num_classes", 80)
+    cfg = YoloXConfig(num_classes=nc, depth=ap.get("depth_mult", ap.get("depth", 1.0)),
+                      width=ap.get("width_mult", ap.get("width", 1.0)))
+    return ModelSpec(
+        module=YoloX(cfg),
+        task="detection",
+        num_classes=nc,
+        input_hw=(image_size, image_size),
+        config=cfg,
+        processing=default_yolo_nas_coco_processing(image_size),
+        class_names=COCO_DETECTION_CLASSES_LIST if nc == 80 else None,
+    )
+
+
+@register_model("yolox_x")
+def yolox_x(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.detection.yolox import YoloX, YoloXConfig
+
+    nc = num_classes or (arch_params or {}).get("num_classes", 80)
+    cfg = YoloXConfig(num_classes=nc, depth=1.33, width=1.25)
+    return ModelSpec(
+        module=YoloX(cfg), task="detection", num_classes=nc, input_hw=(640, 640), config=cfg,
+        processing=default_yolo_nas_coco_processing(640),
+        class_names=COCO_DETECTION_CLASSES_LIST if nc == 80 else None,
+    )
+
+
+@register_model("ssd_mobilenet_v1")
+def ssd_mobilenet_v1(num_classes=None, arch_params=None, image_size: int = 320, **kw):
+    from super_gradients_tpu.models.detection.ssd import SSDConfig, SSDLiteMobileNetV2
+
+    nc = num_classes or (arch_params or {}).get("num_classes", 80)
+    cfg = SSDConfig(num_classes=nc, fig_size=image_size)
+    return ModelSpec(
+        module=SSDLiteMobileNetV2(cfg, backbone="mobilenet_v1"),
+        task="detection",
+        num_classes=nc,
+        input_hw=(image_size, image_size),
+        config=cfg,
+        processing=default_yolo_nas_coco_processing(image_size),
+        class_names=COCO_DETECTION_CLASSES_LIST if nc == 80 else None,
+    )
+
+
+def _shelfnet_deep(blocks, num_classes=None, input_hw=(512, 1024), **kw):
+    from super_gradients_tpu.models.segmentation.shelfnet_laddernet import ShelfNet, ShelfNetCfg
+
+    nc = num_classes or 19
+    cfg = ShelfNetCfg(num_classes=nc, backbone_blocks=blocks, block="bottleneck")
+    return _seg_spec(ShelfNet(cfg), nc, tuple(input_hw), cfg)
+
+
+@register_model("shelfnet50")
+@register_model("shelfnet50_3343")
+def shelfnet50(num_classes=None, arch_params=None, input_hw=(512, 1024), **kw):
+    return _shelfnet_deep((3, 4, 6, 3), num_classes, input_hw, **kw)
+
+
+@register_model("shelfnet101")
+def shelfnet101(num_classes=None, arch_params=None, input_hw=(512, 1024), **kw):
+    return _shelfnet_deep((3, 4, 23, 3), num_classes, input_hw, **kw)
+
+
+for _v in ["segformer_b3", "segformer_b4", "segformer_b5"]:
+    def _segformer_big(num_classes=None, arch_params=None, input_hw=(512, 1024), _v=_v, **kw):
+        from super_gradients_tpu.models.segmentation import unet_segformer as us
+
+        cfg = {"segformer_b3": us.SEGFORMER_B3, "segformer_b4": us.SEGFORMER_B4, "segformer_b5": us.SEGFORMER_B5}[_v]
+        return _segformer(cfg, num_classes, arch_params, input_hw, **kw)
+
+    register_model(_v)(_segformer_big)
+
+
+@register_model("unet_custom")
+def unet_custom(num_classes=None, arch_params=None, input_hw=(512, 512), **kw):
+    from super_gradients_tpu.models.segmentation.unet_segformer import UNet, UNetCfg
+
+    ap = arch_params or {}
+    nc = num_classes or ap.get("num_classes", 19)
+    cfg = UNetCfg(num_classes=nc, widths=tuple(ap.get("widths", (64, 128, 256, 512, 1024))))
+    return _seg_spec(UNet(cfg), nc, tuple(input_hw), cfg)
+
+
+@register_model("unet_custom_cls")
+def unet_custom_cls(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.segmentation.unet_segformer import UNetCfg, UNetClassifier
+
+    ap = arch_params or {}
+    nc = num_classes or ap.get("num_classes", 1000)
+    cfg = UNetCfg(num_classes=nc, widths=tuple(ap.get("widths", (64, 128, 256, 512, 1024))))
+    return _cls_spec(UNetClassifier(cfg, num_classes=nc), nc)
+
+
+@register_model("pose_rescoring")
+@register_model("pose_rescoring_coco")
+@register_model("pose_rescoring_custom")
+def pose_rescoring(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.models.class_names import COCO_POSE_EDGE_LINKS
+    from super_gradients_tpu.models.pose.rescoring_net import PoseRescoringNet
+
+    ap = arch_params or {}
+    nj = num_classes or ap.get("num_classes", 17)
+    links = tuple(tuple(l) for l in ap.get("edge_links", COCO_POSE_EDGE_LINKS))
+    module = PoseRescoringNet(
+        num_classes=nj,
+        hidden_channels=ap.get("hidden_channels", 256),
+        num_layers=ap.get("num_layers", 3),
+        edge_links=links,
+    )
+    return ModelSpec(module=module, task="pose_rescoring", num_classes=nj, input_hw=(len(links), 3))
+
+
+@register_model("kd_module")
+def kd_module(num_classes=None, arch_params=None, **kw):
+    """KD wrapper: arch_params must carry ``student`` / ``teacher`` — either
+    registered architecture names or already-built flax modules
+    (ref kd_modules/kd_module.py + Models.KD_MODULE)."""
+    from super_gradients_tpu.common.registry import ARCHITECTURES
+    from super_gradients_tpu.training.losses.kd_losses import KDModule
+
+    ap = arch_params or {}
+    if "student" not in ap or "teacher" not in ap:
+        raise ValueError("kd_module requires arch_params with `student` and `teacher`")
+
+    def resolve(entry):
+        if isinstance(entry, str):
+            return ARCHITECTURES[entry](num_classes=num_classes, arch_params=ap.get(f"{entry}_arch_params")).module
+        return entry
+
+    student, teacher = resolve(ap["student"]), resolve(ap["teacher"])
+    nc = num_classes or ap.get("num_classes", 1000)
+    return ModelSpec(module=KDModule(student=student, teacher=teacher), task="classification", num_classes=nc, input_hw=(224, 224))

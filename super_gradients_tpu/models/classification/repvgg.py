@@ -24,6 +24,7 @@ class RepVGGCfg:
     blocks_per_stage: Tuple[int, ...] = (2, 4, 14, 1)
     width_a: float = 0.75  # stages 1-4 multiplier
     width_b: float = 2.5  # final stage multiplier
+    se_ratio: float = 0.0  # >0 adds per-block SE (RepVGG-D2se)
     fused: str = "none"
 
 
@@ -32,6 +33,10 @@ REPVGG_VARIANTS = {
     "repvgg_a1": RepVGGCfg(width_a=1.0, width_b=2.5),
     "repvgg_a2": RepVGGCfg(width_a=1.5, width_b=2.75),
     "repvgg_b0": RepVGGCfg(blocks_per_stage=(4, 6, 16, 1), width_a=1.0, width_b=2.5),
+    "repvgg_b1": RepVGGCfg(blocks_per_stage=(4, 6, 16, 1), width_a=2.0, width_b=4.0),
+    "repvgg_b2": RepVGGCfg(blocks_per_stage=(4, 6, 16, 1), width_a=2.5, width_b=5.0),
+    "repvgg_b3": RepVGGCfg(blocks_per_stage=(4, 6, 16, 1), width_a=3.0, width_b=5.0),
+    "repvgg_d2se": RepVGGCfg(blocks_per_stage=(8, 14, 24, 1), width_a=2.5, width_b=5.0, se_ratio=1 / 16),
 }
 
 
@@ -54,7 +59,7 @@ class RepVGG(nn.Module):
                 stride = 2 if bi == 0 else 1
                 x = RepVGGBlock(
                     w, stride=stride, use_residual=(stride == 1 and x.shape[-1] == w), fused=c.fused,
-                    name=f"stage{si + 1}_{bi}",
+                    se_ratio=c.se_ratio or None, name=f"stage{si + 1}_{bi}",
                 )(x, train=train)
         x = jnp.mean(x, axis=(1, 2))
         return nn.Dense(c.num_classes, name="linear")(x)

@@ -64,28 +64,41 @@ class SSDConfig:
 
 
 class SSDLiteMobileNetV2(nn.Module):
-    """ref ssd.py SSDLiteMobileNetV2 (MobileNetV2 trunk + SSD-lite extras/heads)."""
+    """ref ssd.py SSDLiteMobileNetV2 (MobileNetV2 trunk + SSD-lite extras/heads);
+    ``backbone="mobilenet_v1"`` gives the reference's SSDMobileNetV1 variant."""
 
     cfg: SSDConfig
+    backbone: str = "mobilenet_v2"
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> YoloNASOutputs:
         c = self.cfg
-        # MobileNetV2 trunk, tapped at the stride-16 expand (standard SSDlite tap)
-        from super_gradients_tpu.models.classification.mobilenet import MobileNetV2, _make_divisible
+        # MobileNet trunk, tapped at stride 16 + stride 32 (standard SSD taps)
+        from super_gradients_tpu.models.classification.mobilenet import MobileNetV1, MobileNetV2, _make_divisible
 
         feats = []
-        x_ = ConvBNAct(out_channels=32, kernel=3, stride=2, act="relu6", name="stem")(x, train=train)
-        i = 0
-        tap_block = 12  # before stride-32 downsample
-        for t, ch, n, s in MobileNetV2.CFG:
-            for j in range(n):
-                x_ = InvertedResidual(_make_divisible(ch), s if j == 0 else 1, t, name=f"block_{i}")(x_, train=train)
-                if i == tap_block:
-                    feats.append(x_)  # stride 16
-                i += 1
-        x_ = ConvBNAct(out_channels=1280, kernel=1, act="relu6", name="head_conv")(x_, train=train)
-        feats.append(x_)  # stride 32
+        if self.backbone == "mobilenet_v1":
+            x_ = ConvBNAct(out_channels=32, kernel=3, stride=2, act="relu", name="stem")(x, train=train)
+            for i, blk in enumerate(MobileNetV1.CFG):
+                out, s = (blk, 1) if isinstance(blk, int) else blk
+                cin = x_.shape[-1]
+                if s == 2 and out == 1024:
+                    feats.append(x_)  # stride 16 tap before the final downsample
+                x_ = ConvBNAct(out_channels=cin, kernel=3, stride=s, groups=cin, act="relu", name=f"dw_{i}")(x_, train=train)
+                x_ = ConvBNAct(out_channels=out, kernel=1, act="relu", name=f"pw_{i}")(x_, train=train)
+            feats.append(x_)  # stride 32
+        else:
+            x_ = ConvBNAct(out_channels=32, kernel=3, stride=2, act="relu6", name="stem")(x, train=train)
+            i = 0
+            tap_block = 12  # before stride-32 downsample
+            for t, ch, n, s in MobileNetV2.CFG:
+                for j in range(n):
+                    x_ = InvertedResidual(_make_divisible(ch), s if j == 0 else 1, t, name=f"block_{i}")(x_, train=train)
+                    if i == tap_block:
+                        feats.append(x_)  # stride 16
+                    i += 1
+            x_ = ConvBNAct(out_channels=1280, kernel=1, act="relu6", name="head_conv")(x_, train=train)
+            feats.append(x_)  # stride 32
 
         # SSD extras: 4 more downsampling blocks
         chans = [512, 256, 256, 64]

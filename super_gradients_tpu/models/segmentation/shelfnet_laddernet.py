@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from super_gradients_tpu.models.classification.resnet import BasicResNetBlock
+from super_gradients_tpu.models.classification.resnet import BasicResNetBlock, BottleneckBlock
 from super_gradients_tpu.modules.blocks import ConvBNAct
 
 
@@ -38,20 +38,22 @@ class ShelfBlock(nn.Module):
 
 
 class _ResNetFeatures(nn.Module):
-    """ResNet18-style trunk returning feats at strides 4/8/16/32."""
+    """ResNet trunk returning feats at strides 4/8/16/32 (basic or bottleneck)."""
 
     widths: Tuple[int, ...] = (64, 128, 256, 512)
     blocks: Tuple[int, ...] = (2, 2, 2, 2)
+    block: str = "basic"  # basic | bottleneck (ShelfNet50/101 use bottleneck)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ConvBNAct(out_channels=64, kernel=7, stride=2, act="relu", name="conv1")(x, train=train)
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        blk = BasicResNetBlock if self.block == "basic" else BottleneckBlock
         feats = []
         for li, (w, n) in enumerate(zip(self.widths, self.blocks)):
             for bi in range(n):
-                x = BasicResNetBlock(w, stride=2 if (bi == 0 and li > 0) else 1, name=f"layer{li + 1}_{bi}")(x, train=train)
+                x = blk(w, stride=2 if (bi == 0 and li > 0) else 1, name=f"layer{li + 1}_{bi}")(x, train=train)
             feats.append(x)
         return feats
 
@@ -60,6 +62,8 @@ class _ResNetFeatures(nn.Module):
 class ShelfNetCfg:
     num_classes: int = 19
     widths: Tuple[int, ...] = (64, 128, 256, 512)
+    backbone_blocks: Tuple[int, ...] = (2, 2, 2, 2)
+    block: str = "basic"  # shelfnet50/101: "bottleneck" with (3,4,6,3)/(3,4,23,3)
 
 
 class ShelfNet(nn.Module):
@@ -71,7 +75,8 @@ class ShelfNet(nn.Module):
     def __call__(self, x, train: bool = False):
         c = self.cfg
         in_h, in_w = x.shape[1], x.shape[2]
-        feats = _ResNetFeatures(c.widths, name="backbone")(x, train=train)
+        feats = _ResNetFeatures(c.widths, getattr(c, "backbone_blocks", (2, 2, 2, 2)),
+                                getattr(c, "block", "basic"), name="backbone")(x, train=train)
         # 1x1 reductions (ref ConvBNReLU reducers)
         feats = [
             ConvBNAct(out_channels=w, kernel=1, act="relu", name=f"reduce{i}")(f, train=train)

@@ -108,6 +108,26 @@ class STDCBackbone(nn.Module):
         return tuple(outputs)
 
 
+class STDCClassification(nn.Module):
+    """STDC backbone + squared-feature classifier head (ref stdc.py:237-279:
+    ``conv_last(x)^2 → GAP → FC → ReLU → dropout → linear``)."""
+
+    backbone_cfg: STDCBackboneCfg = STDC1_CFG
+    num_classes: int = 1000
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = STDCBackbone(self.backbone_cfg, name="backbone")(x, train=train)
+        out = feats[-1]
+        head_channels = max(1024, out.shape[-1])
+        out = ConvBNAct(out_channels=head_channels, kernel=1, act="relu", name="conv_last")(out, train=train)
+        out = jnp.mean(out**2, axis=(1, 2))
+        out = nn.relu(nn.Dense(head_channels, use_bias=False, name="fc")(out))
+        out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        return nn.Dense(self.num_classes, use_bias=False, name="linear")(out)
+
+
 class AttentionRefinementModule(nn.Module):
     """ref stdc.py:296-313."""
 

@@ -104,6 +104,24 @@ class MixFFN(nn.Module):
         return nn.Dense(d, name="fc2")(y)
 
 
+class UNetClassifier(nn.Module):
+    """UNet encoder + GAP classifier head (ref unet/unet_encoder.py backbone used
+    by ``unet_custom_cls``)."""
+
+    cfg: UNetCfg
+    num_classes: int = 1000
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i, w in enumerate(self.cfg.widths):
+            if i > 0:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = ConvBNAct(out_channels=w, kernel=3, act="relu", name=f"enc{i}_1")(x, train=train)
+            x = ConvBNAct(out_channels=w, kernel=3, act="relu", name=f"enc{i}_2")(x, train=train)
+        x = jnp.mean(x, axis=(1, 2))
+        return nn.Dense(self.num_classes, name="fc")(x)
+
+
 @dataclasses.dataclass(frozen=True)
 class SegFormerCfg:
     num_classes: int = 19
@@ -117,6 +135,9 @@ class SegFormerCfg:
 SEGFORMER_B0 = SegFormerCfg()
 SEGFORMER_B1 = SegFormerCfg(embed_dims=(64, 128, 320, 512))
 SEGFORMER_B2 = SegFormerCfg(embed_dims=(64, 128, 320, 512), depths=(3, 4, 6, 3), decoder_dim=768)
+SEGFORMER_B3 = SegFormerCfg(embed_dims=(64, 128, 320, 512), depths=(3, 4, 18, 3), decoder_dim=768)
+SEGFORMER_B4 = SegFormerCfg(embed_dims=(64, 128, 320, 512), depths=(3, 8, 27, 3), decoder_dim=768)
+SEGFORMER_B5 = SegFormerCfg(embed_dims=(64, 128, 320, 512), depths=(3, 6, 40, 3), decoder_dim=768)
 
 
 class SegFormer(nn.Module):
