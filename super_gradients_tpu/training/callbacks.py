@@ -12,6 +12,8 @@ import enum
 import time
 from typing import Any, Dict, List, Optional, Sequence
 
+import jax
+
 from super_gradients_tpu.common.logging_utils import get_logger
 from super_gradients_tpu.common.registry import register_callback
 
@@ -208,6 +210,46 @@ class TimerCallback(Callback):
 
     def on_train_loader_end(self, context: PhaseContext):
         context.metrics_dict["epoch_time_s"] = time.time() - self._t0
+
+
+@register_callback("ProfilerCallback")
+class ProfilerCallback(Callback):
+    """Capture a ``jax.profiler`` trace for a step window (SURVEY §5 tracing
+    analogue of the reference's TimerCallback + torch profiler usage).
+
+    Starts the trace at ``start_step`` of ``profile_epoch`` and stops after
+    ``num_steps`` train batches; the trace dir is viewable in TensorBoard's
+    profile plugin / Perfetto.
+    """
+
+    def __init__(self, logdir: str = "profile", profile_epoch: int = 1,
+                 start_step: int = 5, num_steps: int = 5):
+        self.logdir = logdir
+        self.profile_epoch = profile_epoch
+        self.start_step = start_step
+        self.num_steps = num_steps
+        self._batch = 0
+        self._active = False
+
+    def on_train_loader_start(self, context: PhaseContext):
+        self._batch = 0
+
+    def on_train_batch_end(self, context: PhaseContext):
+        if context.epoch != self.profile_epoch:
+            return
+        self._batch += 1
+        if self._batch == self.start_step and not self._active:
+            jax.profiler.start_trace(self.logdir)
+            self._active = True
+            logger.info(f"ProfilerCallback: tracing {self.num_steps} steps -> {self.logdir}")
+        elif self._active and self._batch >= self.start_step + self.num_steps:
+            jax.profiler.stop_trace()
+            self._active = False
+
+    def on_train_loader_end(self, context: PhaseContext):
+        if self._active:  # loader shorter than the window
+            jax.profiler.stop_trace()
+            self._active = False
 
 
 @register_callback("LRCallbackBase")
