@@ -114,10 +114,11 @@ def get(
     )
 
     if pretrained_weights is not None and checkpoint_path is None:
-        raise ValueError(
-            "pretrained_weights requires network download which is unavailable in this "
-            "environment; pass checkpoint_path to a local reference .pth instead."
-        )
+        # zero-egress env: resolve against the local mirror ($SG_PRETRAINED_DIR);
+        # raises with the published URL when the file is absent
+        from super_gradients_tpu.models.pretrained_models import resolve_pretrained_path
+
+        checkpoint_path = resolve_pretrained_path(model_name, pretrained_weights)
 
     if checkpoint_path is not None:
         if checkpoint_path.endswith((".pth", ".pt")):
