@@ -54,24 +54,30 @@ class OhemCELoss:
     """
 
     def __init__(self, threshold: float = 0.7, mining_percent: float = 0.1, ignore_lb: int = 255):
+        if not 0 <= mining_percent <= 1:
+            raise ValueError(f"mining percent must be in [0, 1], got {mining_percent}")
         self.thresh = -jnp.log(jnp.asarray(threshold))
         self.mining_percent = mining_percent
         self.ignore_lb = ignore_lb
 
-    def per_image(self, ce_flat: jnp.ndarray, valid_flat: jnp.ndarray) -> jnp.ndarray:
-        n_valid = jnp.maximum(valid_flat.sum(), 1.0)
-        n_min = jnp.maximum((n_valid * self.mining_percent).astype(jnp.int32), 1)
-        sorted_ce = jnp.sort(ce_flat * valid_flat)[::-1]  # desc, invalid -> 0 at the end
-        idx = jnp.arange(sorted_ce.shape[0])
-        keep = (sorted_ce > self.thresh) | (idx < n_min)
-        kept = sorted_ce * keep
-        return kept.sum() / jnp.maximum(keep.sum(), 1.0)
-
     def __call__(self, outputs, targets) -> Tuple[jnp.ndarray, Dict]:
+        # BATCH-GLOBAL mining over all valid pixels (ref ohem_ce_loss.py:38-61):
+        # sort descending; if the num_mining-th loss exceeds thresh keep every
+        # pixel above thresh, else keep exactly the top num_mining; mean of kept.
         logits = outputs[0] if isinstance(outputs, (tuple, list)) else outputs
-        ce = pixel_cross_entropy(logits, targets, self.ignore_lb)
-        b = ce.shape[0]
-        loss = jax.vmap(self.per_image)(ce.reshape(b, -1), _valid_mask(targets, self.ignore_lb).reshape(b, -1)).mean()
+        ce = pixel_cross_entropy(logits, targets, self.ignore_lb).reshape(-1)
+        valid = _valid_mask(targets, self.ignore_lb).reshape(-1)
+        n_valid = valid.sum().astype(jnp.int32)
+        num_mining = jnp.minimum((self.mining_percent * n_valid).astype(jnp.int32), n_valid - 1)
+        num_mining = jnp.maximum(num_mining, 0)
+        sorted_ce = jnp.sort(ce * valid)[::-1]  # invalid pixels contribute 0 at the tail
+        pivot = jnp.take(sorted_ce, num_mining)
+        idx = jnp.arange(sorted_ce.shape[0])
+        # thresh = -log(p) > 0 for p < 1, so `> thresh` also excludes the zero tail
+        keep = jnp.where(pivot > self.thresh, sorted_ce > self.thresh, idx < num_mining)
+        keep = keep & (idx < n_valid)
+        loss = (sorted_ce * keep).sum() / jnp.maximum(keep.sum(), 1)
+        loss = jnp.where(n_valid == 0, 0.0, loss)
         return loss, {"OhemCELoss": loss}
 
 
