@@ -53,6 +53,10 @@ class KDTrainer(Trainer):
 
         tp = dict(training_params or {})
         tp.setdefault("loss", KDLogitsLoss(tp.pop("task_loss", None), tp.pop("distillation_loss_coeff", 0.5), tp.pop("temperature", 1.0)))
+        # the frozen teacher must receive NO optimizer updates — stop_gradient only
+        # zeroes grads, it does not stop weight decay (ref: teacher is never in the
+        # optimizer's param groups, kd_trainer.py)
+        tp.setdefault("frozen_param_patterns", ["teacher"])
         # the metric path sees KDOutput; unwrap student logits for metrics via a
         # wrapper loss already handles loss; metrics: use student logits
         tp.setdefault("valid_metrics_list", [])

@@ -134,10 +134,12 @@ def build_lr_schedule(
         step = jnp.asarray(step, dtype=jnp.float32)
         if warmup_mode == "LinearBatchLRWarmup" or lr_warmup_steps > 0:
             warm_lr = warmup_initial_lr + (initial_lr - warmup_initial_lr) * step / jnp.maximum(warmup_steps, 1)
-        else:  # LinearEpochLRWarmup: climb at epoch granularity
+        else:  # LinearEpochLRWarmup: start at exactly warmup_initial_lr at epoch 0 and
+            # climb in steps of (initial - warmup_initial)/lr_warmup_epochs, reaching
+            # initial_lr at epoch == lr_warmup_epochs (ref callbacks.py:275 LinearEpochLRWarmup)
             epoch = jnp.floor(step / steps_per_epoch)
-            warm_lr = warmup_initial_lr + (initial_lr - warmup_initial_lr) * (epoch + 1) / jnp.maximum(
-                lr_warmup_epochs + 1, 1
+            warm_lr = warmup_initial_lr + (initial_lr - warmup_initial_lr) * epoch / jnp.maximum(
+                lr_warmup_epochs, 1
             )
         eff = jnp.clip(step - warmup_steps, 0, effective_total)
         main_lr = main(eff)

@@ -60,6 +60,9 @@ class Trainer:
         self.train_state: Optional[TrainState] = None
         self.train_loss_history: List[float] = []
         self.valid_metrics_history: List[Dict[str, float]] = []
+        self.test_metrics_history: List[Dict[str, Dict[str, float]]] = []
+        self.train_metrics_history: List[Dict[str, float]] = []
+        self._recipe_cfg: Optional[Dict] = None  # full cfg when launched via train_from_config
 
     # ------------------------------------------------------------------ train
 
@@ -108,6 +111,23 @@ class Trainer:
         )
         if tp.get("clip_grad_norm"):
             tx = optax.chain(optax.clip_by_global_norm(float(tp["clip_grad_norm"])), tx)
+        frozen_patterns = list(tp.get("frozen_param_patterns") or [])
+        if frozen_patterns:
+            # Freeze matching subtrees entirely: the main transform never sees them
+            # (so decoupled/coupled weight decay cannot decay them — ref KD teacher
+            # semantics, kd_trainer.py) and their update is forced to zero.
+            def _mask(params, invert=False):
+                def leaf_mask(path, _):
+                    s = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+                    frozen = any(pat in s for pat in frozen_patterns)
+                    return frozen if invert else not frozen
+
+                return jax.tree_util.tree_map_with_path(leaf_mask, params)
+
+            tx = optax.chain(
+                optax.masked(tx, lambda p: _mask(p)),
+                optax.masked(optax.set_to_zero(), lambda p: _mask(p, invert=True)),
+            )
         if batch_accumulate > 1:
             tx = optax.MultiSteps(tx, every_k_schedule=batch_accumulate)
 
@@ -142,6 +162,7 @@ class Trainer:
             state, start_epoch = self._try_resume(tp, state)
         if jax.process_index() == 0:
             os.makedirs(self.ckpt_dir, exist_ok=True)
+            self._persist_recipe(tp, model)
 
         # state replicated over the mesh (also re-commits orbax-restored arrays that
         # land on a single device and would clash with batch-sharded inputs)
@@ -153,7 +174,10 @@ class Trainer:
 
         base_rng = jax.random.PRNGKey(int(tp.get("seed") or 42))
 
-        def train_step(st: TrainState, inputs, targets):
+        train_metrics = MetricCollection([get_metric(m) for m in (tp.get("train_metrics_list") or [])])
+        has_train_metrics = bool(train_metrics.metrics)
+
+        def train_step(st: TrainState, train_dev_states, inputs, targets):
             rngs = {"dropout": jax.random.fold_in(base_rng, st.step)}
 
             def loss_fn(p):
@@ -166,9 +190,17 @@ class Trainer:
                     out = module.apply(variables, inputs, train=True, rngs=rngs)
                     new_bs = st.batch_stats
                 loss, aux = criterion(out, targets)
-                return loss, (aux, new_bs)
+                return loss, (aux, new_bs, out)
 
-            (loss, (aux, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(st.params)
+            (loss, (aux, new_bs, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(st.params)
+            # train-phase metrics on the live outputs (ref sg_trainer.py:519-528,
+            # 1977-1984 MetricsUpdateCallback at TRAIN_BATCH_END)
+            if has_train_metrics:
+                out_sg = jax.lax.stop_gradient(out)
+                new_train_dev = train_metrics.update_device_only(train_dev_states, out_sg, targets)
+                train_host_aux = train_metrics.preprocess_device(out_sg, targets)
+            else:
+                new_train_dev, train_host_aux = train_dev_states, ()
             updates, new_opt = tx.update(grads, st.opt_state, st.params)
             new_params = optax.apply_updates(st.params, updates)
 
@@ -197,7 +229,7 @@ class Trainer:
             )
             metrics = {"loss": loss, "lr": lr_schedule(opt_step.astype(jnp.float32))}
             metrics.update({k: v for k, v in aux.items()})
-            return new_state, metrics
+            return new_state, new_train_dev, train_host_aux, metrics
 
         train_step = jax.jit(train_step, donate_argnums=0)
 
@@ -243,6 +275,21 @@ class Trainer:
         handler.on_training_start(context)
         max_train_batches = tp.get("max_train_batches")
         max_valid_batches = tp.get("max_valid_batches")
+        # host-sync cadence: loss/lr floats are fetched every N batches only, keeping
+        # XLA dispatch fully async in between (ref weak: per-step float() serialized
+        # H2D/compute on TPU)
+        sync_every = int(tp.get("train_logging_frequency") or 50)
+
+        mesh_batch_axis = int(mesh.shape.get("batch", 1)) if mesh is not None else 1
+        repl_sharding = replicated_sharding(mesh)
+
+        def put_batch(arr):
+            """device_put with batch sharding; a final partial batch that does not
+            divide the mesh batch axis falls back to replicated placement (exact,
+            one extra compile) instead of raising a sharding error."""
+            a = jnp.asarray(arr)
+            sh = data_sharding if a.shape[0] % mesh_batch_axis == 0 else repl_sharding
+            return jax.device_put(a, sh)
 
         try:
             for epoch in range(start_epoch, max_epochs):
@@ -252,27 +299,57 @@ class Trainer:
                 train_loader.set_epoch(epoch) if hasattr(train_loader, "set_epoch") else None
                 handler.on_train_loader_start(context)
                 t0 = time.time()
-                loss_sum, loss_count = 0.0, 0
+                loss_sum, loss_count = jnp.zeros(()), 0
                 last_metrics = {}
+                train_mstates = train_metrics.init()
+                py_step = int(state.step)  # host-side step counter — never read state.step per batch
                 for batch_idx, batch in enumerate(train_loader):
                     if max_train_batches and batch_idx >= max_train_batches:
                         break
-                    inputs, targets = batch[0], batch[1]
-                    inputs = jax.device_put(jnp.asarray(inputs), data_sharding)
-                    targets = jax.device_put(jnp.asarray(targets), data_sharding)
-                    context.update_context(batch_idx=batch_idx, step=int(state.step))
+                    inputs = put_batch(batch[0])
+                    targets = put_batch(batch[1])
+                    context.update_context(batch_idx=batch_idx, step=py_step)
                     handler.on_train_batch_start(context)
-                    state, step_metrics = train_step(state, inputs, targets)
-                    loss_val = float(step_metrics["loss"])
-                    loss_sum += loss_val
+                    train_dev = train_metrics.device_states(train_mstates)
+                    state, new_train_dev, train_host_aux, step_metrics = train_step(state, train_dev, inputs, targets)
+                    train_mstates = train_metrics.merge_device_states(train_mstates, new_train_dev)
+                    if has_train_metrics and train_metrics.has_host_metrics():
+                        train_mstates = train_metrics.update_host(
+                            train_mstates, jax.device_get(train_host_aux), np.asarray(batch[1])
+                        )
+                    loss_sum = loss_sum + step_metrics["loss"]
                     loss_count += 1
-                    context.update_context(loss_avg=loss_sum / loss_count, lr=float(step_metrics["lr"]))
+                    py_step += 1
                     last_metrics = step_metrics
+                    if loss_count % sync_every == 0:
+                        context.update_context(
+                            loss_avg=float(loss_sum) / loss_count, lr=float(step_metrics["lr"])
+                        )
                     handler.on_train_batch_end(context)
                 epoch_time = time.time() - t0
-                self.train_loss_history.append(loss_sum / max(loss_count, 1))
-                context.metrics_dict.update({"train_loss": loss_sum / max(loss_count, 1)})
+                train_loss = float(loss_sum) / max(loss_count, 1)
+                self.train_loss_history.append(train_loss)
+                context.update_context(loss_avg=train_loss, lr=float(last_metrics["lr"]) if last_metrics else None)
+                context.metrics_dict.update({"train_loss": train_loss})
+                train_results = train_metrics.compute(train_mstates) if has_train_metrics else {}
+                if has_train_metrics:
+                    self.train_metrics_history.append(train_results)
+                context.metrics_dict.update({f"Train_{k}": v for k, v in train_results.items()})
                 handler.on_train_loader_end(context)
+
+                # ---------- precise BN (per-epoch, before validation — ref
+                # sg_trainer.py:1552-1562: affects metric_to_watch & best ckpt) ----------
+                if tp.get("precise_bn") and has_bn:
+                    from super_gradients_tpu.training.precise_bn import precise_bn_stats
+
+                    n_pbn = int(tp.get("precise_bn_batch_size") or 16)
+                    precise = precise_bn_stats(module, state.params, state.batch_stats, train_loader, num_batches=n_pbn)
+                    # copy recomputed buffers into the EMA branch too (the reference's
+                    # ModelEMA.update_attr copies non-param buffers before validation)
+                    state = state.replace(
+                        batch_stats=precise,
+                        ema_batch_stats=jax.tree_util.tree_map(lambda x: x, precise) if use_ema else state.ema_batch_stats,
+                    )
 
                 # ---------- validation ----------
                 should_validate = valid_loader is not None and (
@@ -282,41 +359,43 @@ class Trainer:
                 if should_validate:
                     handler.on_validation_loader_start(context)
                     eval_vars = self._eval_variables(state, use_ema, has_bn)
-                    mstates = valid_metrics.init()
-                    vloss_sum, vcount = 0.0, 0
-                    for vidx, batch in enumerate(valid_loader):
-                        if max_valid_batches and vidx >= max_valid_batches:
-                            break
-                        inputs = jax.device_put(jnp.asarray(batch[0]), data_sharding)
-                        targets = jax.device_put(jnp.asarray(batch[1]), data_sharding)
-                        dev_states = valid_metrics.device_states(mstates)
-                        new_dev, host_aux, vloss = eval_step(eval_vars, dev_states, inputs, targets)
-                        mstates = valid_metrics.merge_device_states(mstates, new_dev)
-                        if valid_metrics.has_host_metrics():
-                            mstates = valid_metrics.update_host(
-                                mstates, jax.device_get(host_aux), np.asarray(batch[1])
-                            )
-                        vloss_sum += float(vloss)
-                        vcount += 1
-                        handler.on_validation_batch_end(context)
-                    valid_results = valid_metrics.compute(mstates)
-                    valid_results["Loss"] = vloss_sum / max(vcount, 1)
+                    valid_results = self._run_eval_loop(
+                        eval_step, eval_vars, valid_metrics, valid_loader, put_batch, max_valid_batches, handler, context
+                    )
                     self.valid_metrics_history.append(valid_results)
                     context.update_context(valid_metrics=valid_results)
                     handler.on_validation_loader_end(context)
 
+                # ---------- test loaders (ref sg_trainer.py:1596-1615) ----------
+                test_results: Dict[str, Dict[str, float]] = {}
+                if test_loaders and should_validate:
+                    eval_vars = self._eval_variables(state, use_ema, has_bn)
+                    for tname, tloader in test_loaders.items():
+                        res = self._run_eval_loop(
+                            eval_step, eval_vars, valid_metrics, tloader, put_batch, max_valid_batches, None, context
+                        )
+                        test_results[tname] = res
+                        context.metrics_dict.update({f"{tname}:{k}": v for k, v in res.items()})
+                    self.test_metrics_history.append(test_results)
+                    handler.on_test_loader_end(context)
+
                 if not silent:
-                    msg = f"Epoch {epoch + 1}/{max_epochs} | loss {loss_sum / max(loss_count, 1):.4f} | {epoch_time:.1f}s"
+                    msg = f"Epoch {epoch + 1}/{max_epochs} | loss {train_loss:.4f} | {epoch_time:.1f}s"
                     if valid_results:
                         msg += " | " + " ".join(f"{k}={v:.4f}" for k, v in valid_results.items())
                     logger.info(msg)
 
-                self.sg_logger.add_scalar("Train/loss", loss_sum / max(loss_count, 1), epoch)
+                self.sg_logger.add_scalar("Train/loss", train_loss, epoch)
+                for k, v in train_results.items():
+                    self.sg_logger.add_scalar(f"Train/{k}", v, epoch)
                 if "lr" in last_metrics:
                     self.sg_logger.add_scalar("Train/lr", float(last_metrics["lr"]), epoch)
                 self.sg_logger.add_scalar("Train/epoch_time_s", epoch_time, epoch)
                 for k, v in valid_results.items():
                     self.sg_logger.add_scalar(f"Valid/{k}", v, epoch)
+                for tname, res in test_results.items():
+                    for k, v in res.items():
+                        self.sg_logger.add_scalar(f"Test_{tname}/{k}", v, epoch)
                 self.sg_logger.flush()
 
                 # ---------- checkpointing ----------
@@ -334,13 +413,29 @@ class Trainer:
         final_vars = self._eval_variables(state, use_ema, has_bn)
         model.update_variables(jax.device_get(final_vars))
         self.train_state = state
-
-        if tp.get("precise_bn") and has_bn:
-            from super_gradients_tpu.training.precise_bn import compute_precise_bn_stats
-
-            n = int(tp.get("precise_bn_batch_size") or 16)
-            compute_precise_bn_stats(model, train_loader, num_batches=n)
         return model
+
+    def _run_eval_loop(self, eval_step, eval_vars, metrics, loader, put_batch, max_batches, handler, context) -> Dict[str, float]:
+        """One pass over ``loader`` with the jitted eval step (validation & test_loaders)."""
+        mstates = metrics.init()
+        vloss_sum, vcount = jnp.zeros(()), 0
+        for vidx, batch in enumerate(loader):
+            if max_batches and vidx >= max_batches:
+                break
+            inputs = put_batch(batch[0])
+            targets = put_batch(batch[1])
+            dev_states = metrics.device_states(mstates)
+            new_dev, host_aux, vloss = eval_step(eval_vars, dev_states, inputs, targets)
+            mstates = metrics.merge_device_states(mstates, new_dev)
+            if metrics.has_host_metrics():
+                mstates = metrics.update_host(mstates, jax.device_get(host_aux), np.asarray(batch[1]))
+            vloss_sum = vloss_sum + vloss
+            vcount += 1
+            if handler is not None:
+                handler.on_validation_batch_end(context)
+        results = metrics.compute(mstates)
+        results["Loss"] = float(vloss_sum) / max(vcount, 1)
+        return results
 
     # ------------------------------------------------------------ internals
 
@@ -356,8 +451,12 @@ class Trainer:
             "batch_stats": state.batch_stats or {},
             "ema_params": state.ema_params if use_ema else {},
             "ema_batch_stats": (state.ema_batch_stats or {}) if use_ema else {},
+            # full optimizer state (momentum / Adam moments / MultiSteps counters) —
+            # ref sg_trainer.py:692-715 saves optimizer_state_dict; without it resume
+            # silently resets momentum
+            "opt_state": state.opt_state,
         }
-        meta = {"epoch": epoch, "metrics": valid_results, "experiment": self.experiment_name}
+        meta = {"epoch": epoch, "metrics": valid_results, "experiment": self.experiment_name, "ckpt_version": 2}
         ckpt_utils.save_checkpoint(self.ckpt_dir, tp.get("ckpt_name", "ckpt_latest"), state_tree, meta)
 
         if epoch in (tp.get("save_ckpt_epoch_list") or []):
@@ -390,6 +489,7 @@ class Trainer:
         if not ckpt_utils.checkpoint_exists(ckpt_dir, name):
             logger.warning(f"resume checkpoint {ckpt_dir}/{name} missing — starting fresh")
             return state, 0
+        meta = ckpt_utils.load_metadata(ckpt_dir, name)
         target = {
             "step": state.step,
             "params": state.params,
@@ -397,8 +497,10 @@ class Trainer:
             "ema_params": state.ema_params or {},
             "ema_batch_stats": state.ema_batch_stats or {},
         }
+        restore_opt = int(meta.get("ckpt_version", 1)) >= 2
+        if restore_opt:
+            target["opt_state"] = state.opt_state
         restored = ckpt_utils.load_checkpoint(ckpt_dir, name, target)
-        meta = ckpt_utils.load_metadata(ckpt_dir, name)
         start_epoch = int(meta.get("epoch", -1)) + 1
         state = state.replace(
             step=jnp.asarray(restored["step"], jnp.int32),
@@ -406,9 +508,41 @@ class Trainer:
             batch_stats=restored["batch_stats"] or state.batch_stats,
             ema_params=restored["ema_params"] if state.ema_params is not None else None,
             ema_batch_stats=restored["ema_batch_stats"] if state.ema_batch_stats is not None else None,
+            opt_state=restored["opt_state"] if restore_opt else state.opt_state,
         )
+        if not restore_opt:
+            logger.warning("Checkpoint has no optimizer state (v1 format) — momentum/moments start fresh")
         logger.info(f"Resumed from {ckpt_dir}/{name} at epoch {start_epoch}")
         return state, start_epoch
+
+    # ------------------------------------------------------- recipe persistence
+
+    def _persist_recipe(self, tp: Dict, model):
+        """Write the resolved recipe next to the checkpoints so
+        ``resume_experiment`` can rebuild everything (ref cfg_utils.py:60
+        load_experiment_cfg / sg_trainer.py:309-329)."""
+        import json
+
+        def _clean(obj):
+            if isinstance(obj, dict):
+                return {k: _clean(v) for k, v in obj.items() if not callable(v)}
+            if isinstance(obj, (list, tuple)):
+                return [_clean(v) for v in obj if not callable(v)]
+            if isinstance(obj, (str, int, float, bool)) or obj is None:
+                return obj
+            return repr(obj)
+
+        recipe = self._recipe_cfg if self._recipe_cfg is not None else {
+            "experiment_name": self.experiment_name,
+            "architecture": getattr(model, "name", None),
+            "num_classes": getattr(model, "num_classes", None),
+            "training_hyperparams": tp,
+        }
+        try:
+            with open(os.path.join(self.ckpt_dir, "recipe.json"), "w") as f:
+                json.dump(_clean(recipe), f, indent=2)
+        except Exception as e:  # never fail training over recipe serialization
+            logger.warning(f"Could not persist recipe.json: {e}")
 
     # ----------------------------------------------------------- evaluation
 
@@ -431,11 +565,15 @@ class Trainer:
             return new_dev, host_aux, loss
 
         data_sharding = batch_sharding(mesh)
+        repl_sharding = replicated_sharding(mesh)
+        mesh_batch_axis = int(mesh.shape.get("batch", 1)) if mesh is not None else 1
         mstates = metrics.init()
         loss_sum, count = 0.0, 0
         for batch in data_loader:
-            inputs = jax.device_put(jnp.asarray(batch[0]), data_sharding)
-            targets = jax.device_put(jnp.asarray(batch[1]), data_sharding)
+            a = jnp.asarray(batch[0])
+            sh = data_sharding if a.shape[0] % mesh_batch_axis == 0 else repl_sharding
+            inputs = jax.device_put(a, sh)
+            targets = jax.device_put(jnp.asarray(batch[1]), sh)
             dev_states = metrics.device_states(mstates)
             new_dev, host_aux, loss = eval_step(dev_states, inputs, targets)
             mstates = metrics.merge_device_states(mstates, new_dev)
@@ -462,6 +600,7 @@ class Trainer:
         from super_gradients_tpu.training import dataloaders
 
         trainer = cls(experiment_name=cfg.get("experiment_name", "experiment"), ckpt_root_dir=cfg.get("ckpt_root_dir"))
+        trainer._recipe_cfg = cfg
         model = models.get(
             cfg["architecture"],
             num_classes=cfg.get("num_classes") or (cfg.get("arch_params") or {}).get("num_classes"),
@@ -483,4 +622,31 @@ class Trainer:
 
     @classmethod
     def resume_experiment(cls, experiment_name: str, ckpt_root_dir: Optional[str] = None, run_id: Optional[str] = None):
-        raise NotImplementedError("resume_experiment requires a persisted recipe; use train(..., training_params={'resume': True})")
+        """Reload the persisted recipe of a previous run and continue training
+        (ref sg_trainer.py:309-329 + cfg_utils.py:60 load_experiment_cfg)."""
+        import json
+
+        run_id = run_id or get_latest_run_id(experiment_name, ckpt_root_dir)
+        if run_id is None:
+            raise FileNotFoundError(f"No previous run found for experiment `{experiment_name}`")
+        ckpt_dir = get_checkpoints_dir_path(experiment_name, ckpt_root_dir, run_id)
+        recipe_path = os.path.join(ckpt_dir, "recipe.json")
+        if not os.path.exists(recipe_path):
+            raise FileNotFoundError(
+                f"{recipe_path} missing — the run predates recipe persistence; "
+                f"use train(..., training_params={{'resume': True}}) instead"
+            )
+        with open(recipe_path) as f:
+            cfg = json.load(f)
+        if "architecture" not in cfg or cfg.get("train_dataloader") is None and "dataset_params" not in cfg:
+            raise ValueError(
+                "Persisted recipe lacks model/dataloader config (the run was launched via "
+                "Trainer.train() directly) — resume by calling train() again with "
+                "training_params={'resume': True, 'run_id': run_id}"
+            )
+        cfg.setdefault("training_hyperparams", {})
+        cfg["training_hyperparams"]["resume"] = True
+        cfg["training_hyperparams"]["run_id"] = run_id
+        if ckpt_root_dir:
+            cfg["ckpt_root_dir"] = ckpt_root_dir
+        return cls.train_from_config(cfg)

@@ -122,3 +122,105 @@ def test_precise_bn_recomputes_stats(tmp_path):
     assert max(jax.tree_util.tree_leaves(deltas)) > 1e-4  # stats actually moved
     # and they are finite / sane
     assert all(np.isfinite(x).all() for x in jax.tree_util.tree_leaves(after))
+
+
+def test_resume_restores_optimizer_state(tmp_path):
+    """Momentum/moments must survive resume (ref sg_trainer.py:692-715)."""
+    loader = dataloaders.get("classification_test_dataloader", dataset_params={"image_size": (32, 32), "dataset_size": 32, "batch_size": 16})
+    m1 = models.get("resnet18_cifar", num_classes=10)
+    t1 = Trainer("e2e_opt_resume", ckpt_root_dir=str(tmp_path))
+    t1.train(m1, _quick_params(max_epochs=1), loader, loader)
+    opt1 = jax.device_get(t1.train_state.opt_state)
+
+    # resume with max_epochs=1: loop body never runs, state == restored checkpoint
+    m2 = models.get("resnet18_cifar", num_classes=10)
+    t2 = Trainer("e2e_opt_resume", ckpt_root_dir=str(tmp_path))
+    t2.train(m2, _quick_params(max_epochs=1, resume=True), loader, loader)
+    opt2 = jax.device_get(t2.train_state.opt_state)
+
+    leaves1 = jax.tree_util.tree_leaves(opt1)
+    leaves2 = jax.tree_util.tree_leaves(opt2)
+    assert len(leaves1) == len(leaves2)
+    # SGD momentum buffers are nonzero after a real epoch and must match exactly
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves1 if np.asarray(l).ndim > 0)
+    for l1, l2 in zip(leaves1, leaves2):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-6, atol=1e-7)
+
+
+def test_test_loaders_are_evaluated(tmp_path):
+    """test_loaders must be evaluated per epoch (ref sg_trainer.py:1596-1615)."""
+    loader = dataloaders.get("classification_test_dataloader", dataset_params={"image_size": (32, 32), "dataset_size": 32, "batch_size": 16})
+    tloader = dataloaders.get("classification_test_dataloader", dataset_params={"image_size": (32, 32), "dataset_size": 16, "batch_size": 16})
+    model = models.get("resnet18_cifar", num_classes=10)
+    trainer = Trainer("e2e_testloaders", ckpt_root_dir=str(tmp_path))
+    trainer.train(model, _quick_params(max_epochs=2), loader, loader, test_loaders={"holdout": tloader})
+    assert len(trainer.test_metrics_history) == 2
+    assert "Accuracy" in trainer.test_metrics_history[-1]["holdout"]
+
+
+def test_train_phase_metrics(tmp_path):
+    """train_metrics_list computes metrics on training outputs (ref :519-528)."""
+    loader = dataloaders.get("classification_test_dataloader", dataset_params={"image_size": (32, 32), "dataset_size": 32, "batch_size": 16})
+    model = models.get("resnet18_cifar", num_classes=10)
+    trainer = Trainer("e2e_trainmetrics", ckpt_root_dir=str(tmp_path))
+    trainer.train(model, _quick_params(max_epochs=1, train_metrics_list=["Accuracy", "Top5"]), loader, loader)
+    assert len(trainer.train_metrics_history) == 1
+    assert 0.0 <= trainer.train_metrics_history[0]["Accuracy"] <= 1.0
+    assert "Top5" in trainer.train_metrics_history[0]
+
+
+def test_frozen_param_patterns(tmp_path):
+    """frozen_param_patterns subtrees get zero updates AND zero weight decay."""
+    model = models.get("resnet18_cifar", num_classes=10)
+    frozen_key = sorted(model.params.keys())[0]
+    before = jax.device_get(model.params[frozen_key])
+    loader = dataloaders.get("classification_test_dataloader", dataset_params={"image_size": (32, 32), "dataset_size": 32, "batch_size": 16})
+    trainer = Trainer("e2e_frozen", ckpt_root_dir=str(tmp_path))
+    params = _quick_params(
+        max_epochs=1,
+        frozen_param_patterns=[frozen_key],
+        optimizer_params={"momentum": 0.9, "weight_decay": 0.1},  # aggressive WD: would visibly decay
+    )
+    model = trainer.train(model, params, loader, loader)
+    after = jax.device_get(model.params[frozen_key])
+    for l1, l2 in zip(jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_partial_final_validation_batch(tmp_path):
+    """A final val batch not divisible by the mesh batch axis must not crash
+    (falls back to replicated placement — ADVICE r1)."""
+    import super_gradients_tpu as sg
+
+    sg.setup_device(num_devices=8)
+    model = models.get("resnet18_cifar", num_classes=10)
+    train_loader = dataloaders.get("classification_test_dataloader", dataset_params={"image_size": (32, 32), "dataset_size": 32, "batch_size": 16})
+    val_ds = dataloaders.RandomClassificationDataset(num_samples=21, image_size=(32, 32), num_classes=10)
+    val_loader = dataloaders.DataLoader(val_ds, batch_size=16, drop_last=False)  # final batch = 5
+    trainer = Trainer("e2e_partial", ckpt_root_dir=str(tmp_path))
+    trainer.train(model, _quick_params(max_epochs=1), train_loader, val_loader)
+    assert trainer.valid_metrics_history
+
+
+def test_resume_experiment_classmethod(tmp_path):
+    """resume_experiment reloads the persisted recipe (ref sg_trainer.py:309-329)."""
+    cfg = {
+        "experiment_name": "e2e_resume_exp",
+        "ckpt_root_dir": str(tmp_path),
+        "architecture": "resnet18_cifar",
+        "num_classes": 10,
+        "train_dataloader": "classification_test_dataloader",
+        "val_dataloader": "classification_test_dataloader",
+        "dataset_params": {
+            "train_dataset_params": {"image_size": (32, 32), "dataset_size": 32, "batch_size": 16},
+            "val_dataset_params": {"image_size": (32, 32), "dataset_size": 32, "batch_size": 16},
+        },
+        "training_hyperparams": _quick_params(max_epochs=1),
+    }
+    _, t1 = Trainer.train_from_config(cfg)
+    assert os.path.exists(os.path.join(t1.ckpt_dir, "recipe.json"))
+    step1 = int(t1.train_state.step)
+
+    _, t2 = Trainer.resume_experiment("e2e_resume_exp", ckpt_root_dir=str(tmp_path))
+    # resumed at epoch 1 == max_epochs → no extra steps, state restored
+    assert int(t2.train_state.step) == step1
