@@ -27,18 +27,23 @@ A100_TRT_IMG_PER_S = 640.0  # published-extrapolated reference throughput
 BASELINE = 2.0 * A100_TRT_IMG_PER_S
 
 
-def main():
-    from super_gradients_tpu import models
-    from super_gradients_tpu.ops.nms import batched_nms
-    from super_gradients_tpu.ops.preprocess import standardize
+def build_program(model):
+    """Fused predict program: raw uint8 NHWC → NMSOutput, one XLA executable.
 
-    model = models.get(MODEL, num_classes=80, image_size=IMAGE)
-    # deploy form: QARepVGG branches fused to single 3x3 convs, bf16 conv stack
-    # (decode + NMS in fp32) — mirrors reference fuse_model=True + TRT FP16 engine
-    module, variables = model._infer_module_and_vars(fuse_model=True, bf16=True)
+    Deploy form mirrors reference fuse_model=True + TRT FP16 engine: QARepVGG
+    branches fused to single 3x3 convs, bf16 conv stack, decode + NMS in fp32.
+    The /255 standardization is folded into the stem weights and the stem runs
+    in space-to-depth form (the 3-channel 3x3 conv uses ~4% of the MXU lanes;
+    the bit-equivalent s2d form uses 48 — see yolo_nas.s2d_stem_params).
+    """
+    from super_gradients_tpu.ops.nms import batched_nms
+
+    module, variables = model._infer_module_and_vars(
+        fuse_model=True, bf16=True, stem_s2d=True, input_scale=1.0 / 255.0
+    )
 
     def predict_program(images_u8):
-        x = standardize(images_u8).astype(jnp.bfloat16)
+        x = images_u8.astype(jnp.bfloat16)
         out = module.apply(variables, x, train=False)
         return batched_nms(
             out.pred_bboxes.astype(jnp.float32), out.pred_scores.astype(jnp.float32),
@@ -46,10 +51,13 @@ def main():
             nms_top_k=1024, max_predictions=300, mode="fast",
         )
 
-    fn = jax.jit(predict_program)
-    rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.randint(0, 255, size=(BATCH, IMAGE, IMAGE, 3), dtype=np.uint8))
+    return jax.jit(predict_program)
 
+
+def measure(fn, batch, iters):
+    rng = np.random.RandomState(0)
+    host = rng.randint(0, 255, size=(batch, IMAGE, IMAGE, 3), dtype=np.uint8)
+    images = jnp.asarray(host)
     # warmup / compile (+ hard D2H sync: on the axon relay, block_until_ready
     # alone does not drain the async dispatch queue at low call counts)
     out = fn(images)
@@ -57,17 +65,36 @@ def main():
     np.asarray(out.num_detections)
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
+    for _ in range(iters):
         out = fn(images)
     jax.block_until_ready(out)
     np.asarray(out.num_detections)
     dt = time.perf_counter() - t0
+    return batch * iters / dt
 
-    imgs_per_s = BATCH * ITERS / dt
+
+def main():
+    from super_gradients_tpu import models
+
+    model = models.get(MODEL, num_classes=80, image_size=IMAGE)
+    fn = build_program(model)
+
+    if os.environ.get("BENCH_SWEEP"):
+        best_b, best = BATCH, 0.0
+        for b in (64, 96, 128, 192, 256):
+            v = measure(fn, b, max(8, ITERS // 2))
+            print(f"# batch {b}: {v:.1f} img/s", file=sys.stderr)
+            if v > best:
+                best_b, best = b, v
+        batch = best_b
+    else:
+        batch = BATCH
+
+    imgs_per_s = measure(fn, batch, ITERS)
     print(
         json.dumps(
             {
-                "metric": f"{MODEL} {IMAGE}px predict images/sec/chip (batch {BATCH}, fused fwd+decode+NMS)",
+                "metric": f"{MODEL} {IMAGE}px predict images/sec/chip (batch {batch}, fused fwd+decode+NMS)",
                 "value": round(imgs_per_s, 2),
                 "unit": "images/sec",
                 "vs_baseline": round(imgs_per_s / BASELINE, 4),

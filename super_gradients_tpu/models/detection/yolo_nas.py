@@ -95,6 +95,13 @@ class YoloNASConfig:
     bn_momentum: float = 0.03
     grid_cell_offset: float = 0.5
     fused: str = "none"  # propagated to every QARepVGG block
+    # Deploy-only stem form: space-to-depth(2x2) input + equivalent 2x2 conv.
+    # The stride-2 3x3 stem conv on a 3-channel image uses 3 of the MXU's 128
+    # lanes (~4% utilization on v5e); the mathematically identical s2d form
+    # (input [H/2,W/2,12], kernel 2x2) raises the contraction to 48 lanes.
+    # Weights are derived from the trained 3x3 stem by
+    # :func:`s2d_stem_params` — requires ``fused='full'``.
+    stem_s2d: bool = False
 
 
 # ---------------------------------------------------------------- core layers
@@ -200,6 +207,17 @@ class YoloNASStem(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.cfg.stem_s2d:
+            # x arrives in s2d(2x2) form [B, H/2, W/2, 4*C]; the 2x2 stride-1 conv
+            # with top/left pad 1 is bit-equivalent to the original 3x3 stride-2
+            # conv (weights transformed by s2d_stem_params).
+            from super_gradients_tpu.modules.blocks import get_activation
+
+            y = nn.Conv(
+                self.cfg.stem_channels, (2, 2), strides=(1, 1),
+                padding=((1, 0), (1, 0)), use_bias=True, name="rbr_reparam_s2d",
+            )(x)
+            return get_activation("relu")(y)
         return QARepVGGBlock(
             out_channels=self.cfg.stem_channels, stride=2, use_residual=False,
             bn_eps=self.cfg.bn_eps, bn_momentum=self.cfg.bn_momentum, fused=self.cfg.fused, name="conv",
@@ -310,6 +328,10 @@ class NStageBackbone(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = self.cfg
+        if c.stem_s2d:
+            b, h, w, ch = x.shape
+            # space-to-depth(2x2): [B,H,W,C] -> [B,H/2,W/2,4C], channel = (p*2+q)*C+c
+            x = x.reshape(b, h // 2, 2, w // 2, 2, ch).transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * ch)
         x = YoloNASStem(c, name="stem")(x, train=train)
         outs = []
         for i, stage in enumerate(c.stages):
@@ -436,6 +458,50 @@ class YoloNAS(nn.Module):
         feats = NStageBackbone(self.cfg, name="backbone")(x, train=train)
         p3, p4, p5 = YoloNASPANNeckWithC2(self.cfg, name="neck")(feats, train=train)
         return NDFLHeads(self.cfg, name="heads")([p3, p4, p5], train=train)
+
+
+def s2d_stem_params(params, input_scale: float = None):
+    """Transform fused stem weights to the space-to-depth deploy form.
+
+    The original stem is a fused 3x3 stride-2 conv ``W[3,3,C,O] + b`` with pad 1.
+    Output(i,j) sums taps x[2i+di-1, 2j+dj-1], di,dj∈{0,1,2}. In s2d(2x2) block
+    coordinates (block r holds rows 2r, 2r+1; channel index (p*2+q)*C+c) those taps
+    live in blocks {i-1, i} × {j-1, j}, so the identical map is a 2x2 stride-1 conv
+    with top/left pad 1 and kernel::
+
+        W2[v, u, (p*2+q)*C + c, o] = W[2v+p-1, 2u+q-1, c, o]   (zero if index ∉ 0..2)
+
+    ``input_scale`` additionally folds an input standardization ``x * input_scale``
+    (e.g. 1/255) into the weights — the predict program can then consume raw uint8
+    images with no separate elementwise pass over the full-res input.
+
+    Returns a NEW params pytree with ``backbone/stem/conv/rbr_reparam`` replaced by
+    ``backbone/stem/rbr_reparam_s2d``.
+    """
+    import numpy as np
+
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy via rebuild
+    params = {**params}
+    backbone = {**params["backbone"]}
+    stem = backbone["stem"]
+    if "conv" not in stem or "rbr_reparam" not in stem["conv"]:
+        raise ValueError("s2d_stem_params requires a fully fused stem (fused='full')")
+    w = np.asarray(stem["conv"]["rbr_reparam"]["kernel"], dtype=np.float32)  # [3,3,C,O]
+    bias = np.asarray(stem["conv"]["rbr_reparam"]["bias"], dtype=np.float32)
+    if input_scale is not None:
+        w = w * float(input_scale)
+    _, _, cin, cout = w.shape
+    w2 = np.zeros((2, 2, 4 * cin, cout), dtype=np.float32)
+    for v in range(2):
+        for u in range(2):
+            for p in range(2):
+                for q in range(2):
+                    di, dj = 2 * v + p - 1, 2 * u + q - 1
+                    if 0 <= di <= 2 and 0 <= dj <= 2:
+                        w2[v, u, (p * 2 + q) * cin : (p * 2 + q + 1) * cin, :] = w[di, dj]
+    backbone["stem"] = {"rbr_reparam_s2d": {"kernel": jnp.asarray(w2), "bias": jnp.asarray(bias)}}
+    params["backbone"] = backbone
+    return params
 
 
 # ------------------------------------------------------------------- variants

@@ -221,23 +221,41 @@ class DetectionModel(SgModel):
         self._default_multi_label_per_box = True
         self._default_class_agnostic_nms = False
 
-    def _infer_module_and_vars(self, fuse_model: bool, bf16: bool):
+    def _infer_module_and_vars(self, fuse_model: bool, bf16: bool, stem_s2d: bool = False, input_scale: float = None):
         """Deploy form of the net: optionally QARepVGG-fused and bf16-cast.
 
         Mirrors the reference predict defaults (fuse_model=True, fp16=True on CUDA —
         bf16 is the TPU analogue; decode/NMS stay fp32 inside the model heads).
+
+        ``stem_s2d`` rewrites the stem to the space-to-depth form (MXU-lane-filling,
+        bit-equivalent — see :func:`yolo_nas.s2d_stem_params`); ``input_scale``
+        folds an input standardization (e.g. 1/255) into the stem weights so the
+        program consumes raw uint8 frames. Both require fuse_model=True and a
+        YoloNAS-family config.
         """
-        key = (fuse_model, bf16)
+        key = (fuse_model, bf16, stem_s2d, input_scale)
         cache = self.__dict__.setdefault("_infer_cache", {})
         if key not in cache:
             src = self.fuse() if fuse_model else self
-            variables = src.variables
+            module, variables = src.module, src.variables
+            if stem_s2d or input_scale is not None:
+                import dataclasses as _dc
+
+                from super_gradients_tpu.models.detection.yolo_nas import s2d_stem_params
+
+                if not hasattr(src.config, "stem_s2d"):
+                    raise ValueError(f"stem_s2d/input_scale not supported for {type(src.config).__name__}")
+                if not stem_s2d:
+                    raise ValueError("input_scale folding currently requires stem_s2d=True")
+                cfg = _dc.replace(src.config, stem_s2d=True)
+                module = type(src.module)(cfg)
+                variables = {**variables, "params": s2d_stem_params(variables["params"], input_scale)}
             if bf16:
                 variables = jax.tree_util.tree_map(
                     lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
                     variables,
                 )
-            cache[key] = (src.module, variables)
+            cache[key] = (module, variables)
         return cache[key]
 
     def _predict_program(self, conf, iou, nms_top_k, max_predictions, multi_label, class_agnostic, nms_mode,

@@ -88,24 +88,34 @@ def _single_image_nms(
     class_agnostic: bool,
     mode: str,
     prefilter: str = "two_stage",
+    class_top_k: int = 4,
 ) -> NMSOutput:
     n, c = scores.shape
     if multi_label:
         if prefilter == "two_stage" and n > nms_top_k:
             # A flat top-k over N*C is a huge sort (~42 ms for 672k elements on
             # v5e). Two-stage: pick top anchors by per-anchor max first, then a
-            # flat top-k within them (K*C elements). A candidate survives the
-            # flat stage only if it beats the K-th best OVERALL score, and any
-            # such score's anchor-max is >= it, so the anchor stage keeps every
-            # anchor that could contribute unless >K anchors each hold higher
-            # maxima — in which case those fill the quota anyway.
+            # flat top-k within them. A candidate survives the flat stage only
+            # if it beats the K-th best OVERALL score, and any such score's
+            # anchor-max is >= it, so the anchor stage keeps every anchor that
+            # could contribute unless >K anchors each hold higher maxima — in
+            # which case those fill the quota anyway.
+            #
+            # The flat stage itself sorts only each anchor's top ``class_top_k``
+            # classes (K*T elements instead of K*C — a K*C sort is ~15 ms for
+            # 128×1024×80 on v5e, K*T is ~3 ms). Exact unless one anchor holds
+            # more than T classes inside the true global top-K — vanishingly
+            # rare at detection score distributions (TRT EfficientNMS makes the
+            # same per-anchor assumption).
             k = min(nms_top_k, n)
             anchor_best = jnp.max(scores, axis=-1)
             _, aidx = jax.lax.top_k(anchor_best, k)
             sub = scores[aidx]  # [k, C]
-            top_scores, sidx = jax.lax.top_k(sub.reshape(-1), k)
-            anchor_idx = aidx[sidx // c]
-            cls_idx = sidx % c
+            t = min(class_top_k, c)
+            vals, cls_of_t = jax.lax.top_k(sub, t)  # [k, T]
+            top_scores, sidx = jax.lax.top_k(vals.reshape(-1), k)
+            anchor_idx = aidx[sidx // t]
+            cls_idx = cls_of_t[sidx // t, sidx % t]
         else:
             flat = scores.reshape(-1)  # [N*C]
             k = min(nms_top_k, flat.shape[0])
@@ -131,24 +141,36 @@ def _single_image_nms(
 
     if mode == "exact":
         keep = _exact_keep_mask(iou, valid, iou_threshold)
-        final_scores = jnp.where(keep, top_scores, -1.0)
     elif mode == "fast":
         keep = _fast_keep_mask(iou, valid, iou_threshold)
-        final_scores = jnp.where(keep, top_scores, -1.0)
     elif mode == "matrix":
         decay = _matrix_nms_decay(iou, valid)
         decayed = top_scores * decay
         keep = valid & (decayed > score_threshold)
-        final_scores = jnp.where(keep, decayed, -1.0)
     else:
         raise ValueError(f"Unknown NMS mode `{mode}` (exact|fast|matrix)")
 
-    m = min(max_predictions, final_scores.shape[0])
-    out_scores, out_idx = jax.lax.top_k(final_scores, m)
-    out_boxes = cand_boxes[out_idx]
-    out_labels = cls_idx[out_idx].astype(jnp.int32)
-    valid_out = out_scores > 0
-    out_scores = jnp.where(valid_out, out_scores, 0.0)
+    m = min(max_predictions, top_scores.shape[0])
+    if mode == "matrix":
+        # decayed scores are re-ordered → a real sort is required
+        final_scores = jnp.where(keep, decayed, -1.0)
+        out_scores, out_idx = jax.lax.top_k(final_scores, m)
+        out_boxes = cand_boxes[out_idx]
+        out_labels = cls_idx[out_idx].astype(jnp.int32)
+        valid_out = out_scores > 0
+        out_scores = jnp.where(valid_out, out_scores, 0.0)
+    else:
+        # candidates are already score-sorted, so the kept set is too — compact
+        # with cumsum positions + a one-hot projection matmul (MXU) instead of a
+        # top-k sort (TPU sorts are VPU-bound and slow at [B,1024])
+        pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        proj = jax.nn.one_hot(jnp.where(keep, pos, m), m, dtype=jnp.float32)  # [K, m]
+        payload = jnp.concatenate(
+            [cand_boxes, jnp.where(keep, top_scores, 0.0)[:, None], cls_idx.astype(jnp.float32)[:, None]], axis=-1
+        )  # [K, 6] — one matmul reads proj once
+        packed = proj.T @ payload
+        out_boxes, out_scores, out_labels = packed[:, :4], packed[:, 4], packed[:, 5].astype(jnp.int32)
+        valid_out = jnp.arange(m) < jnp.sum(keep.astype(jnp.int32))
     out_boxes = jnp.where(valid_out[:, None], out_boxes, 0.0)
     out_labels = jnp.where(valid_out, out_labels, -1)
     num = jnp.sum(valid_out.astype(jnp.int32))
@@ -171,17 +193,20 @@ def batched_nms(
     class_agnostic: bool = False,
     mode: str = "exact",
     prefilter: str = "two_stage",
+    class_top_k: int = 4,
 ) -> NMSOutput:
     """Batched class-aware NMS with fixed output shapes.
 
     Equivalent surface to ``PPYoloEPostPredictionCallback`` + torchvision
     ``batched_nms`` (reference ``post_prediction_callback.py:43-110``) but with the
     per-image Python loop replaced by ``vmap`` and static shapes throughout.
-    ``prefilter``: "two_stage" (fast candidate selection, default) or "flat"
-    (single top-k over N*C, reference-exact candidate set).
+    ``prefilter``: "two_stage" (fast candidate selection via per-anchor
+    ``class_top_k``, default) or "flat" (single top-k over N*C, reference-exact
+    candidate set).
     """
     fn = lambda b, s: _single_image_nms(
-        b, s, score_threshold, iou_threshold, nms_top_k, max_predictions, multi_label, class_agnostic, mode, prefilter
+        b, s, score_threshold, iou_threshold, nms_top_k, max_predictions, multi_label, class_agnostic, mode,
+        prefilter, class_top_k,
     )
     return jax.vmap(fn)(boxes, scores)
 

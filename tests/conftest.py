@@ -21,4 +21,10 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# Persistent compilation cache: repeated jit compiles dominate suite runtime
+# (model configs are identical across tests/runs) — shared across xdist workers.
+jax.config.update("jax_compilation_cache_dir", os.environ.get("SG_JAX_CACHE", "/tmp/sg_tpu_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
