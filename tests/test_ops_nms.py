@@ -105,3 +105,47 @@ def test_jit_and_vmap_batched():
     out = fn(jnp.asarray(boxes), jnp.asarray(scores))
     assert out.boxes.shape == (4, 16, 4)
     assert out.num_detections.shape == (4,)
+
+
+def test_two_stage_prefilter_matches_flat():
+    """Per-anchor class_top_k prefilter must match the flat (exact) candidate set
+    on realistic score distributions (N > nms_top_k engages the two-stage path)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from super_gradients_tpu.ops.nms import batched_nms
+
+    rng = np.random.RandomState(7)
+    B, N, C = 2, 400, 12
+    boxes = rng.rand(B, N, 4).astype(np.float32) * 320
+    boxes[..., 2:] = boxes[..., :2] + boxes[..., 2:] * 0.25 + 4
+    # detection-like scores: mostly tiny, a few confident (single dominant class)
+    scores = rng.rand(B, N, C).astype(np.float32) * 0.1
+    hot = rng.randint(0, N, size=(B, 40))
+    for b in range(B):
+        scores[b, hot[b], rng.randint(0, C, size=40)] = rng.rand(40) * 0.9 + 0.1
+
+    a = batched_nms(jnp.asarray(boxes), jnp.asarray(scores), nms_top_k=128, mode="exact", prefilter="flat")
+    b_ = batched_nms(jnp.asarray(boxes), jnp.asarray(scores), nms_top_k=128, mode="exact", prefilter="two_stage")
+    np.testing.assert_array_equal(np.asarray(a.num_detections), np.asarray(b_.num_detections))
+    n = int(np.asarray(a.num_detections).max())
+    np.testing.assert_allclose(np.asarray(a.scores)[:, :n], np.asarray(b_.scores)[:, :n], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.boxes)[:, :n], np.asarray(b_.boxes)[:, :n], atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a.labels)[:, :n], np.asarray(b_.labels)[:, :n])
+
+
+def test_nms_output_is_score_sorted_and_compact():
+    """The matmul compaction must produce descending scores with valid entries first."""
+    import numpy as np
+    import jax.numpy as jnp
+    from super_gradients_tpu.ops.nms import batched_nms
+
+    rng = np.random.RandomState(3)
+    boxes = rng.rand(1, 300, 4).astype(np.float32) * 320
+    boxes[..., 2:] = boxes[..., :2] + 20
+    scores = rng.rand(1, 300, 5).astype(np.float32)
+    out = batched_nms(jnp.asarray(boxes), jnp.asarray(scores), nms_top_k=128, max_predictions=50, mode="fast")
+    n = int(out.num_detections[0])
+    s = np.asarray(out.scores[0])
+    assert (np.diff(s[:n]) <= 1e-6).all()
+    assert (s[n:] == 0).all()
+    assert (np.asarray(out.labels[0])[n:] == -1).all()
