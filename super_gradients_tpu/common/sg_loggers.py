@@ -117,6 +117,20 @@ class BaseSGLogger(AbstractSGLogger):
     def add_image(self, tag: str, image: np.ndarray, global_step: int = 0):
         if self._tb is not None:
             self._tb.add_image(tag, image, int(global_step), dataformats="HWC")
+        # always also dump a PNG next to the checkpoints (ref BaseSGLogger writes
+        # visualization artifacts to the experiment dir)
+        try:
+            from PIL import Image
+
+            img_dir = os.path.join(self.dir, "images")
+            os.makedirs(img_dir, exist_ok=True)
+            safe = tag.replace("/", "_").replace(" ", "_")
+            arr = np.asarray(image)
+            if arr.dtype != np.uint8:
+                arr = np.clip(arr, 0, 255).astype(np.uint8)
+            Image.fromarray(arr).save(os.path.join(img_dir, f"{safe}_step{int(global_step)}.png"))
+        except Exception as e:
+            logger.debug(f"add_image PNG dump failed: {e}")
 
     def add_text(self, tag: str, text: str, global_step: int = 0):
         if self._jsonl:

@@ -142,8 +142,12 @@ class Trainer:
         ) if use_ema else None
 
         # ---- state ------------------------------------------------------
-        params = model.params
-        batch_stats = model.batch_stats
+        # copies, not aliases: the train step donates the TrainState, and donating
+        # buffers aliased by model.variables would invalidate the model wrapper
+        # (predict/visualization callbacks during training would hit
+        # "Array has been deleted")
+        params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), model.params)
+        batch_stats = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), model.batch_stats)
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
@@ -176,8 +180,16 @@ class Trainer:
 
         train_metrics = MetricCollection([get_metric(m) for m in (tp.get("train_metrics_list") or [])])
         has_train_metrics = bool(train_metrics.metrics)
+        valid_metrics = MetricCollection([get_metric(m) for m in (tp.get("valid_metrics_list") or [])])
 
-        def train_step(st: TrainState, train_dev_states, inputs, targets):
+        def _build_steps(criterion):
+            """Close the jitted train/eval steps over the (current) criterion —
+            called again when a stage-switch callback changes criterion_params
+            (ref YoloXTrainingStageSwitchCallback / PPYoloETrainingStageSwitchCallback)."""
+            return _make_train_step(criterion), _make_eval_step(criterion)
+
+        def _make_train_step(criterion):
+          def train_step(st: TrainState, train_dev_states, inputs, targets):
             rngs = {"dropout": jax.random.fold_in(base_rng, st.step)}
 
             def loss_fn(p):
@@ -231,28 +243,49 @@ class Trainer:
             metrics.update({k: v for k, v in aux.items()})
             return new_state, new_train_dev, train_host_aux, metrics
 
-        train_step = jax.jit(train_step, donate_argnums=0)
+          return jax.jit(train_step, donate_argnums=0)
 
-        valid_metrics = MetricCollection([get_metric(m) for m in (tp.get("valid_metrics_list") or [])])
-
-        def eval_step(variables, dev_metric_states, inputs, targets):
+        def _make_eval_step(criterion):
+          def eval_step(variables, dev_metric_states, inputs, targets):
             out = module.apply(variables, inputs, train=False)
             new_dev = valid_metrics.update_device_only(dev_metric_states, out, targets)
             host_aux = valid_metrics.preprocess_device(out, targets)
             loss, _ = criterion(out, targets)
             return new_dev, host_aux, loss
 
-        eval_step = jax.jit(eval_step)
+          return jax.jit(eval_step)
+
+        train_step, eval_step = _build_steps(criterion)
 
         # ---- callbacks / context ----------------------------------------
-        callbacks = list(tp.get("phase_callbacks") or []) + list(additional_callbacks or [])
-        handler = CallbackHandler([c for c in callbacks if isinstance(c, Callback)])
+        def _resolve_callback(c):
+            """Accept Callback instances, registry names, or {name: params} dicts
+            (recipes declare phase_callbacks in YAML — ref default_train_params)."""
+            if isinstance(c, Callback):
+                return c
+            from super_gradients_tpu.common.registry import CALLBACKS
+
+            if isinstance(c, str):
+                if c not in CALLBACKS:
+                    raise KeyError(f"Unknown callback `{c}`; registered: {sorted(CALLBACKS)}")
+                return CALLBACKS[c]()
+            if isinstance(c, dict) and len(c) == 1:
+                name, params = next(iter(c.items()))
+                if name not in CALLBACKS:
+                    raise KeyError(f"Unknown callback `{name}`; registered: {sorted(CALLBACKS)}")
+                return CALLBACKS[name](**(params or {}))
+            raise TypeError(f"Cannot resolve phase callback from {c!r}")
+
+        callbacks = [_resolve_callback(c) for c in list(tp.get("phase_callbacks") or []) + list(additional_callbacks or [])]
+        handler = CallbackHandler(callbacks)
         context = PhaseContext(
             trainer=self,
             model=model,
             training_params=tp,
             experiment_name=self.experiment_name,
             ckpt_dir=self.ckpt_dir,
+            train_loader=train_loader,
+            valid_loader=valid_loader,
         )
 
         metric_to_watch = tp.get("metric_to_watch", "Accuracy")
@@ -298,6 +331,19 @@ class Trainer:
                     break
                 train_loader.set_epoch(epoch) if hasattr(train_loader, "set_epoch") else None
                 handler.on_train_loader_start(context)
+                # stage-switch callbacks may have requested a criterion change —
+                # rebuild + re-jit the steps once (ref sg_trainer loss mutation via
+                # YoloX/PPYoloE stage-switch callbacks)
+                if context._criterion_updates:
+                    if callable(tp.get("loss")) and not isinstance(tp.get("loss"), str):
+                        logger.warning("criterion update requested but loss is an instance — ignoring")
+                    else:
+                        new_cp = {**(tp.get("criterion_params") or {}), **context._criterion_updates}
+                        tp["criterion_params"] = new_cp
+                        criterion = get_loss(tp.get("loss"), new_cp)
+                        train_step, eval_step = _build_steps(criterion)
+                        logger.info(f"Criterion rebuilt with {context._criterion_updates} (epoch {epoch})")
+                    context._criterion_updates = {}
                 t0 = time.time()
                 loss_sum, loss_count = jnp.zeros(()), 0
                 last_metrics = {}
@@ -308,7 +354,7 @@ class Trainer:
                         break
                     inputs = put_batch(batch[0])
                     targets = put_batch(batch[1])
-                    context.update_context(batch_idx=batch_idx, step=py_step)
+                    context.update_context(batch_idx=batch_idx, step=py_step, train_batch=batch)
                     handler.on_train_batch_start(context)
                     train_dev = train_metrics.device_states(train_mstates)
                     state, new_train_dev, train_host_aux, step_metrics = train_step(state, train_dev, inputs, targets)
@@ -321,6 +367,7 @@ class Trainer:
                     loss_count += 1
                     py_step += 1
                     last_metrics = step_metrics
+                    context.step_metrics = step_metrics  # device dict; float() on read syncs
                     if loss_count % sync_every == 0:
                         context.update_context(
                             loss_avg=float(loss_sum) / loss_count, lr=float(step_metrics["lr"])
@@ -335,6 +382,8 @@ class Trainer:
                 if has_train_metrics:
                     self.train_metrics_history.append(train_results)
                 context.metrics_dict.update({f"Train_{k}": v for k, v in train_results.items()})
+                # live weights for visualization/inspection callbacks (ref: context.net)
+                context.update_context(eval_variables=self._eval_variables(state, use_ema, has_bn), train_state=state)
                 handler.on_train_loader_end(context)
 
                 # ---------- precise BN (per-epoch, before validation — ref
@@ -422,6 +471,8 @@ class Trainer:
         for vidx, batch in enumerate(loader):
             if max_batches and vidx >= max_batches:
                 break
+            if context is not None:
+                context.update_context(batch_idx=vidx, valid_batch=batch)
             inputs = put_batch(batch[0])
             targets = put_batch(batch[1])
             dev_states = metrics.device_states(mstates)
