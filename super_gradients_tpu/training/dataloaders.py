@@ -300,3 +300,218 @@ def segmentation_val(root: str, batch_size: int = 8, image_size=(512, 1024), **k
     from super_gradients_tpu.training.datasets import SegmentationDataset
 
     return DataLoader(SegmentationDataset(root, image_size=tuple(image_size)), batch_size=batch_size, shuffle=False, drop_last=False)
+
+
+# ----------------------------------------------------------------- CIFAR loaders
+# (reference dataloaders.py cifar10_train :571 / cifar10_val / cifar100_*)
+
+
+@register_dataloader("cifar10_train")
+def cifar10_train(root: str = "/data/cifar10", batch_size: int = 256, **kw) -> DataLoader:
+    from super_gradients_tpu.training.datasets import CIFAR10Dataset
+
+    return DataLoader(CIFAR10Dataset(root, train=True), batch_size=batch_size, shuffle=True, drop_last=True)
+
+
+@register_dataloader("cifar10_val")
+def cifar10_val(root: str = "/data/cifar10", batch_size: int = 512, **kw) -> DataLoader:
+    from super_gradients_tpu.training.datasets import CIFAR10Dataset
+
+    return DataLoader(CIFAR10Dataset(root, train=False), batch_size=batch_size, shuffle=False, drop_last=False)
+
+
+@register_dataloader("cifar100_train")
+def cifar100_train(root: str = "/data/cifar100", batch_size: int = 256, **kw) -> DataLoader:
+    from super_gradients_tpu.training.datasets import CIFAR100Dataset
+
+    return DataLoader(CIFAR100Dataset(root, train=True), batch_size=batch_size, shuffle=True, drop_last=True)
+
+
+@register_dataloader("cifar100_val")
+def cifar100_val(root: str = "/data/cifar100", batch_size: int = 512, **kw) -> DataLoader:
+    from super_gradients_tpu.training.datasets import CIFAR100Dataset
+
+    return DataLoader(CIFAR100Dataset(root, train=False), batch_size=batch_size, shuffle=False, drop_last=False)
+
+
+# ------------------------------------------------------- detection loader family
+# (reference dataloaders.py:252-340 — per-architecture COCO loaders; same datasets,
+# transform stacks matched to the recipe dataset_params)
+
+
+class PPYoloEMultiScaleCollate:
+    """Multi-scale batch resize (ref PPYoloECollateFN random_resize_sizes).
+
+    TPU-native: sizes cycle through a FIXED list keyed by the batch counter, so
+    XLA compiles one executable per size (bounded set) instead of unbounded
+    dynamic shapes.
+    """
+
+    def __init__(self, sizes=(480, 512, 544, 576, 608, 640), seed: int = 0):
+        self.sizes = tuple(int(s) for s in sizes)
+        self._count = seed
+
+    def __call__(self, samples):
+        import jax
+
+        images, targets = default_collate(samples)
+        self._count += 1
+        size = self.sizes[self._count % len(self.sizes)]
+        if images.shape[1] != size:
+            scale = size / images.shape[1]
+            b, h, w, c = images.shape
+            out_shape = (b, size, int(round(w * scale)), c)
+            images = np.asarray(jax.image.resize(images, out_shape, method="bilinear"))
+            targets = targets.copy()
+            targets[..., 1:5] = np.where(targets[..., 1:5] >= 0, targets[..., 1:5] * scale, targets[..., 1:5])
+        return images, targets
+
+
+@register_dataloader("coco2017_train_ppyoloe")
+def coco2017_train_ppyoloe(data_dir: str, batch_size: int = 16, input_dim=(640, 640), max_boxes: int = 120,
+                           multiscale: bool = False, subdir: str = "images/train2017",
+                           json_file: str = "instances_train2017.json", **kw) -> DataLoader:
+    from super_gradients_tpu.training.datasets import COCODetectionDataset
+
+    ds = COCODetectionDataset(
+        data_dir=data_dir, subdir=subdir, json_file=json_file,
+        transforms=_yolo_nas_train_transforms(tuple(input_dim)), max_boxes=max_boxes,
+        ignore_empty_annotations=True,
+    )
+    collate = PPYoloEMultiScaleCollate() if multiscale else None
+    return DataLoader(ds, batch_size=batch_size, shuffle=True, drop_last=True, collate_fn=collate)
+
+
+@register_dataloader("coco2017_val_ppyoloe")
+def coco2017_val_ppyoloe(data_dir: str, batch_size: int = 32, input_dim=(640, 640), max_boxes: int = 120,
+                         subdir: str = "images/val2017", json_file: str = "instances_val2017.json", **kw) -> DataLoader:
+    return coco2017_val_yolo_nas(data_dir, batch_size, input_dim, max_boxes, subdir, json_file)
+
+
+@register_dataloader("coco2017_train_yolox")
+def coco2017_train_yolox(data_dir: str, batch_size: int = 16, input_dim=(640, 640), max_boxes: int = 120, **kw) -> DataLoader:
+    return coco2017_train_yolo_nas(data_dir, batch_size, input_dim, max_boxes, **kw)
+
+
+@register_dataloader("coco2017_val_yolox")
+def coco2017_val_yolox(data_dir: str, batch_size: int = 32, input_dim=(640, 640), max_boxes: int = 120, **kw) -> DataLoader:
+    return coco2017_val_yolo_nas(data_dir, batch_size, input_dim, max_boxes, **kw)
+
+
+@register_dataloader("coco2017_train_ssd_lite_mobilenet_v2")
+def coco2017_train_ssd(data_dir: str, batch_size: int = 32, input_dim=(320, 320), max_boxes: int = 120, **kw) -> DataLoader:
+    return coco2017_train_yolo_nas(data_dir, batch_size, input_dim, max_boxes, **kw)
+
+
+@register_dataloader("coco2017_val_ssd_lite_mobilenet_v2")
+def coco2017_val_ssd(data_dir: str, batch_size: int = 32, input_dim=(320, 320), max_boxes: int = 120, **kw) -> DataLoader:
+    return coco2017_val_yolo_nas(data_dir, batch_size, input_dim, max_boxes, **kw)
+
+
+# --------------------------------------------------------- ImageNet loader family
+# (reference imagenet_resnet50/efficientnet/mobilenetv2/... loaders :380-500; the
+# families share the folder dataset, differing in resolution/augment strength)
+
+
+def _register_imagenet_family(name: str, image_size: int):
+    @register_dataloader(f"imagenet_{name}_train")
+    def _train(data_dir: str, batch_size: int = 128, **kw) -> DataLoader:
+        from super_gradients_tpu.training.datasets import ImageFolderDataset
+
+        return DataLoader(ImageFolderDataset(os.path.join(data_dir, "train") if os.path.isdir(os.path.join(data_dir, "train")) else data_dir,
+                                             (image_size, image_size)), batch_size=batch_size, shuffle=True)
+
+    @register_dataloader(f"imagenet_{name}_val")
+    def _val(data_dir: str, batch_size: int = 128, **kw) -> DataLoader:
+        from super_gradients_tpu.training.datasets import ImageFolderDataset
+
+        return DataLoader(ImageFolderDataset(os.path.join(data_dir, "val") if os.path.isdir(os.path.join(data_dir, "val")) else data_dir,
+                                             (image_size, image_size)), batch_size=batch_size, shuffle=False, drop_last=False)
+
+    return _train, _val
+
+
+import os  # noqa: E402
+
+for _name, _size in [("resnet50", 224), ("efficientnet", 224), ("mobilenetv2", 224), ("mobilenetv3", 224),
+                     ("regnetY", 224), ("repvgg", 224), ("vit_base", 224), ("vit_large", 224)]:
+    _register_imagenet_family(_name, _size)
+
+
+# -------------------------------------------------------- Cityscapes loader family
+# (reference cityscapes_train/val + per-arch variants :610-700)
+
+
+def _cityscapes_loader(root: str, split: str, batch_size: int, image_size, shuffle: bool) -> DataLoader:
+    from super_gradients_tpu.training.datasets import CityscapesDataset
+
+    return DataLoader(
+        CityscapesDataset(root=root, split=split, image_size=tuple(image_size)),
+        batch_size=batch_size, shuffle=shuffle, drop_last=shuffle,
+    )
+
+
+def _register_cityscapes_family(name: str, train_size, val_size):
+    @register_dataloader(f"cityscapes_{name}_train")
+    def _train(root: str, batch_size: int = 8, image_size=None, **kw) -> DataLoader:
+        return _cityscapes_loader(root, "train", batch_size, image_size or train_size, True)
+
+    @register_dataloader(f"cityscapes_{name}_val")
+    def _val(root: str, batch_size: int = 8, image_size=None, **kw) -> DataLoader:
+        return _cityscapes_loader(root, "val", batch_size, image_size or val_size, False)
+
+
+for _n, _ts, _vs in [("seg50", (512, 1024), (512, 1024)), ("seg75", (768, 1536), (768, 1536)),
+                     ("ddrnet", (1024, 1024), (1024, 2048)), ("regseg48", (1024, 1024), (1024, 2048)),
+                     ("segformer", (1024, 1024), (1024, 2048))]:
+    _register_cityscapes_family(_n, _ts, _vs)
+
+
+@register_dataloader("cityscapes_train")
+def cityscapes_train(root: str, batch_size: int = 8, image_size=(512, 1024), **kw) -> DataLoader:
+    return _cityscapes_loader(root, "train", batch_size, image_size, True)
+
+
+@register_dataloader("cityscapes_val")
+def cityscapes_val(root: str, batch_size: int = 8, image_size=(512, 1024), **kw) -> DataLoader:
+    return _cityscapes_loader(root, "val", batch_size, image_size, False)
+
+
+# ------------------------------------------------------------- COCO pose loaders
+# (reference coco2017_pose_train/val :700-780)
+
+
+def _pose_transforms(image_size, train: bool):
+    from super_gradients_tpu.training.transforms.keypoints import (
+        KeypointsHorizontalFlip,
+        KeypointsLongestMaxSize,
+        KeypointsPadIfNeeded,
+        KeypointsStandardize,
+    )
+
+    ts = [KeypointsLongestMaxSize(max_height=image_size[0], max_width=image_size[1]),
+          KeypointsPadIfNeeded(min_height=image_size[0], min_width=image_size[1]),
+          KeypointsStandardize(max_value=255.0)]
+    if train:
+        ts.insert(0, KeypointsHorizontalFlip(prob=0.5))
+    return ts
+
+
+@register_dataloader("coco2017_pose_train")
+def coco2017_pose_train(data_dir: str, batch_size: int = 16, image_size=(640, 640), max_poses: int = 30,
+                        json_file: str = "person_keypoints_train2017.json", subdir: str = "images/train2017", **kw) -> DataLoader:
+    from super_gradients_tpu.training.datasets import COCOPoseEstimationDataset
+
+    ds = COCOPoseEstimationDataset(data_dir=data_dir, json_annotation_file=json_file, images_dir=subdir,
+                                   max_poses=max_poses, transforms=_pose_transforms(tuple(image_size), True))
+    return DataLoader(ds, batch_size=batch_size, shuffle=True, drop_last=True)
+
+
+@register_dataloader("coco2017_pose_val")
+def coco2017_pose_val(data_dir: str, batch_size: int = 32, image_size=(640, 640), max_poses: int = 30,
+                      json_file: str = "person_keypoints_val2017.json", subdir: str = "images/val2017", **kw) -> DataLoader:
+    from super_gradients_tpu.training.datasets import COCOPoseEstimationDataset
+
+    ds = COCOPoseEstimationDataset(data_dir=data_dir, json_annotation_file=json_file, images_dir=subdir,
+                                   max_poses=max_poses, transforms=_pose_transforms(tuple(image_size), False))
+    return DataLoader(ds, batch_size=batch_size, shuffle=False, drop_last=False)

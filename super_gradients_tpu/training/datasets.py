@@ -403,3 +403,90 @@ class COCOPoseEstimationDataset:
         sample = PoseSample(image, np.asarray(boxes, np.float32), np.stack(joints))
         sample = self.transforms(sample)
         return np.asarray(sample.image, np.float32), sample.to_padded_targets(self.max_poses)
+
+
+# -------------------------------------------------------------- classification
+# CIFAR (reference datasets/classification_datasets/cifar.py — torchvision
+# CIFAR10/100 with SG transform composition; here: direct reads of the standard
+# python-pickle batch files, host-numpy augmentations).
+
+_CIFAR10_MEAN = np.asarray([0.4914, 0.4822, 0.4465], np.float32)
+_CIFAR10_STD = np.asarray([0.2470, 0.2435, 0.2616], np.float32)
+_CIFAR100_MEAN = np.asarray([0.5071, 0.4865, 0.4409], np.float32)
+_CIFAR100_STD = np.asarray([0.2673, 0.2564, 0.2762], np.float32)
+
+
+class _CIFARBase:
+    """Shared loader for the CIFAR python-pickle format.
+
+    ``train=True`` applies the reference train augmentations: RandomCrop(32, pad 4)
+    + horizontal flip; both splits normalize with the per-dataset mean/std.
+    """
+
+    mean = _CIFAR10_MEAN
+    std = _CIFAR10_STD
+
+    def __init__(self, root: str, train: bool = True, seed: int = 0):
+        import pickle
+
+        self.train = train
+        images, labels = [], []
+        for fname in self._batch_files(train):
+            path = os.path.join(root, fname)
+            with open(path, "rb") as f:
+                d = pickle.load(f, encoding="bytes")
+            data = d[b"data"] if b"data" in d else d["data"]
+            lab = d.get(b"labels") or d.get(b"fine_labels") or d.get("labels") or d.get("fine_labels")
+            images.append(np.asarray(data, np.uint8).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1))
+            labels.append(np.asarray(lab, np.int32))
+        self.images = np.concatenate(images)
+        self.labels = np.concatenate(labels)
+        self.rng = np.random.RandomState(seed)
+
+    def _batch_files(self, train: bool) -> List[str]:
+        raise NotImplementedError
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, i):
+        img = self.images[i].astype(np.float32) / 255.0
+        if self.train:
+            # RandomCrop(32, padding=4)
+            padded = np.pad(img, ((4, 4), (4, 4), (0, 0)), mode="constant")
+            y, x = self.rng.randint(0, 9, size=2)
+            img = padded[y : y + 32, x : x + 32]
+            if self.rng.rand() < 0.5:
+                img = img[:, ::-1]
+        img = (img - self.mean) / self.std
+        return np.ascontiguousarray(img), self.labels[i]
+
+
+@register_dataset("Cifar10")
+@register_dataset("CIFAR10Dataset")
+class CIFAR10Dataset(_CIFARBase):
+    """CIFAR-10 from ``root/cifar-10-batches-py`` (or ``root`` directly)."""
+
+    mean, std = _CIFAR10_MEAN, _CIFAR10_STD
+
+    def __init__(self, root: str, train: bool = True, seed: int = 0):
+        sub = os.path.join(root, "cifar-10-batches-py")
+        super().__init__(sub if os.path.isdir(sub) else root, train, seed)
+
+    def _batch_files(self, train: bool) -> List[str]:
+        return [f"data_batch_{i}" for i in range(1, 6)] if train else ["test_batch"]
+
+
+@register_dataset("Cifar100")
+@register_dataset("CIFAR100Dataset")
+class CIFAR100Dataset(_CIFARBase):
+    """CIFAR-100 from ``root/cifar-100-python`` (or ``root`` directly)."""
+
+    mean, std = _CIFAR100_MEAN, _CIFAR100_STD
+
+    def __init__(self, root: str, train: bool = True, seed: int = 0):
+        sub = os.path.join(root, "cifar-100-python")
+        super().__init__(sub if os.path.isdir(sub) else root, train, seed)
+
+    def _batch_files(self, train: bool) -> List[str]:
+        return ["train"] if train else ["test"]

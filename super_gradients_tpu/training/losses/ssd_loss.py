@@ -18,7 +18,13 @@ from super_gradients_tpu.ops.bbox import box_iou, cxcywh_to_xyxy, xyxy_to_cxcywh
 
 @register_loss("SSDLoss")
 class SSDLoss:
-    def __init__(self, anchors_cxcywh, scale_xy: float = 0.1, scale_wh: float = 0.2, alpha: float = 1.0, iou_thresh: float = 0.5, neg_pos_ratio: float = 3.0):
+    def __init__(self, anchors_cxcywh=None, image_size: int = 320, scale_xy: float = 0.1, scale_wh: float = 0.2, alpha: float = 1.0, iou_thresh: float = 0.5, neg_pos_ratio: float = 3.0):
+        if anchors_cxcywh is None:
+            # recipes construct the loss from criterion_params only — generate the
+            # default-box grid for ``image_size`` (must match the model's)
+            from super_gradients_tpu.models.detection.ssd import generate_ssd_anchors
+
+            anchors_cxcywh = generate_ssd_anchors(image_size)
         self.anchors = jnp.asarray(anchors_cxcywh)
         self.anchors_xyxy = cxcywh_to_xyxy(self.anchors)
         self.scale_xy, self.scale_wh = scale_xy, scale_wh
