@@ -4,10 +4,13 @@ Reference: ``Trainer.quantize_from_config`` (sg_trainer.py:2423+) +
 ``qat_trainer/qat_trainer.py:13``: PTQ-calibrate, then optionally QAT fine-tune with
 a modified recipe (``modify_params_for_qat``), then evaluate.
 
-Functional QAT here uses straight-through weight fake-quantization re-applied at
-checkpoints: quantize → fine-tune at lr/10 → re-quantize, which matches the weight
-error of an int8 engine (activation fake-quant calibration tables are produced by
-``QuantizationCalibrator`` for downstream serving stacks).
+Real QAT: the fine-tune runs with IN-GRAPH fake quantization — straight-through
+weight fake-quant (per-channel int8, scales tracked from the live weights) plus
+per-tensor activation fake-quant with the calibrated ranges, applied inside the
+jitted train/eval steps (``quantization.make_qat_forward`` — the analogue of the
+reference's pytorch-quantization TensorQuantizers on weights AND activations,
+``selective_quantization_utils.py:50``). The final model is snapped to the int8
+grid for serving.
 """
 
 from __future__ import annotations
@@ -36,15 +39,32 @@ class QATTrainer(Trainer):
         skip_modules=None,
         qat: bool = True,
     ):
-        """PTQ (+ optional QAT fine-tune). Returns (model, calibration_table)."""
-        model, table = ptq(model, calib_loader, calibration_batches, skip_modules=skip_modules)
-        logger.info("PTQ complete (weights on int8 grid)")
+        """PTQ (+ optional in-graph QAT fine-tune). Returns (model, calibration_table)."""
+        from super_gradients_tpu.training.quantization import QuantizationCalibrator, fake_quantize_params
+
+        # calibrate activation ranges BEFORE touching the weights
+        table = None
+        if calib_loader is not None:
+            table = QuantizationCalibrator().calibrate_model(model, calib_loader, calibration_batches)
+            logger.info(f"Calibrated {len(table.ranges)} activation tensors")
+
         if qat and train_loader is not None and training_params:
             tp = modify_params_for_qat(training_params)
-            logger.info(f"QAT fine-tune: lr={tp['initial_lr']}, epochs={tp['max_epochs']}")
+            # the calibration table is CONSUMED by the forward: activations are
+            # fake-quantized in-graph, weights via STE
+            tp["qat_params"] = {
+                "enabled": True,
+                "calibration_table": table,
+                "quantize_weights": True,
+                "quantize_activations": table is not None,
+                "skip_modules": list(skip_modules or []),
+            }
+            logger.info(f"QAT fine-tune (in-graph fake-quant): lr={tp['initial_lr']}, epochs={tp['max_epochs']}")
             model = self.train(model, tp, train_loader, valid_loader)
-            # land back on the int8 grid after fine-tuning
-            model, _ = ptq(model, calibration_loader=None, skip_modules=skip_modules)
+        # land on the int8 grid for the serving artifact
+        variables = dict(model.variables)
+        variables["params"] = fake_quantize_params(variables["params"], skip_modules)
+        model.update_variables(variables)
         return model, table
 
     @classmethod

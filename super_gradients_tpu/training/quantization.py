@@ -149,13 +149,117 @@ class QuantizationCalibrator:
             )
             flat = jax.tree_util.tree_flatten_with_path(state["intermediates"])[0]
             for path, value in flat:
-                if not hasattr(value, "ndim"):
+                if not hasattr(value, "ndim") or value.ndim == 0:
                     continue
-                name = "/".join(str(getattr(p, "key", p)) for p in path)
-                v = np.asarray(jnp.abs(value))
+                name = _canonical_module_name(path)
+                v = np.asarray(jnp.abs(value.astype(jnp.float32)))
                 amax = float(np.percentile(v, self.percentile)) if self.method == "percentile" else float(v.max())
+                # a module may emit several tensors (tuple outputs) — keep the widest
                 ranges.setdefault(name, []).append(amax)
         return CalibrationTable({k: float(np.mean(v)) for k, v in ranges.items()})
+
+
+def _canonical_module_name(path) -> str:
+    """Normalize a captured-intermediates key path to the module path the QAT
+    interceptor sees: alphanumeric module names only, no ``__call__``/indices."""
+    parts = []
+    for p in path:
+        key = getattr(p, "key", None)
+        if key is None or key == "__call__" or key == "intermediates":
+            continue
+        parts.append(str(key))
+    return "/".join(parts)
+
+
+# ------------------------------------------------------------------ real QAT
+# In-graph fake quantization with straight-through gradients, consuming the
+# calibration table (ref selective_quantization_utils.py:50 — nvidia
+# pytorch-quantization TensorQuantizers on weights AND activations; here the
+# activation quantizers are a flax method interceptor over module outputs).
+
+
+def fake_quant_ste(x: jnp.ndarray, scale, qmin: int = -127, qmax: int = 127) -> jnp.ndarray:
+    """Round to the int8 grid with a straight-through gradient estimator."""
+    q = jnp.clip(jnp.round(x / scale), qmin, qmax) * scale
+    return x + jax.lax.stop_gradient(q - x)
+
+
+def fake_quantize_params_ste(params: Dict, skip_modules: Optional[Sequence[str]] = None, per_channel: bool = True) -> Dict:
+    """Weight fake-quant with STE — differentiable, usable inside the train step.
+
+    Scales are recomputed from the live weights each call (standard QAT weight
+    quantizers track amax of the current weights)."""
+    skip = list(skip_modules or [])
+
+    def q(path, leaf):
+        axes = _quant_axes(path, leaf)
+        if axes is None or any(s in "/".join(path) for s in skip):
+            return leaf
+        if not per_channel:
+            axes = tuple(range(leaf.ndim))
+        amax = jax.lax.stop_gradient(jnp.max(jnp.abs(leaf), axis=axes, keepdims=True))
+        scale = jnp.maximum(amax / 127.0, 1e-12)
+        return fake_quant_ste(leaf, scale)
+
+    return _map_leaves(params, q)
+
+
+def make_qat_forward(module, qat_params: Dict):
+    """Build (apply_fn, param_transform) implementing in-graph QAT.
+
+    ``qat_params`` keys:
+      - ``calibration_table``: :class:`CalibrationTable` (or its ``ranges`` dict)
+        with per-module activation amax — REQUIRED for activation quantization.
+      - ``quantize_weights`` (default True): STE weight fake-quant in the step.
+      - ``quantize_activations`` (default True): per-tensor activation fake-quant
+        applied to every calibrated module's ``__call__`` output via a flax
+        method interceptor.
+      - ``skip_modules``: name fragments excluded from both.
+
+    The returned ``apply_fn(variables, *args, **kwargs)`` is a drop-in for
+    ``module.apply``; ``param_transform`` is applied to params inside the loss.
+    """
+    import flax.linen as nn
+
+    table = qat_params.get("calibration_table")
+    ranges: Dict[str, float] = dict(getattr(table, "ranges", table or {}))
+    skip = list(qat_params.get("skip_modules") or [])
+    quantize_weights = bool(qat_params.get("quantize_weights", True))
+    quantize_acts = bool(qat_params.get("quantize_activations", True)) and bool(ranges)
+    per_channel = bool(qat_params.get("per_channel", True))
+
+    act_scales = {
+        name: max(amax, 1e-12) / 127.0
+        for name, amax in ranges.items()
+        if not any(s in name for s in skip)
+    }
+
+    def _quant_out(out, scale):
+        def maybe_q(x):
+            if hasattr(x, "dtype") and hasattr(x, "ndim") and jnp.issubdtype(x.dtype, jnp.floating) and x.ndim > 0:
+                return fake_quant_ste(x, scale)
+            return x
+
+        return jax.tree_util.tree_map(maybe_q, out)
+
+    def interceptor(next_fun, args, kwargs, context):
+        out = next_fun(*args, **kwargs)
+        if context.method_name != "__call__":
+            return out
+        name = "/".join(context.module.path)
+        scale = act_scales.get(name)
+        if scale is not None:
+            out = _quant_out(out, scale)
+        return out
+
+    def apply_fn(variables, *args, **kwargs):
+        if not quantize_acts:
+            return module.apply(variables, *args, **kwargs)
+        with nn.intercept_methods(interceptor):
+            return module.apply(variables, *args, **kwargs)
+
+    param_transform = (lambda p: fake_quantize_params_ste(p, skip, per_channel)) if quantize_weights else (lambda p: p)
+    return apply_fn, param_transform
 
 
 def ptq(

@@ -176,6 +176,17 @@ class Trainer:
         module = model.module
         has_bn = bool(batch_stats)
 
+        # in-graph QAT: STE weight fake-quant + calibrated activation fake-quant
+        # (ref selective_quantization_utils.py:50 + calibrator.py — enabled by the
+        # QATTrainer via training_params["qat_params"])
+        qat_cfg = dict(tp.get("qat_params") or {})
+        if qat_cfg.get("enabled"):
+            from super_gradients_tpu.training.quantization import make_qat_forward
+
+            apply_fn, param_transform = make_qat_forward(module, qat_cfg)
+        else:
+            apply_fn, param_transform = module.apply, (lambda p: p)
+
         base_rng = jax.random.PRNGKey(int(tp.get("seed") or 42))
 
         train_metrics = MetricCollection([get_metric(m) for m in (tp.get("train_metrics_list") or [])])
@@ -193,13 +204,13 @@ class Trainer:
             rngs = {"dropout": jax.random.fold_in(base_rng, st.step)}
 
             def loss_fn(p):
-                variables = {"params": p}
+                variables = {"params": param_transform(p)}
                 if has_bn:
                     variables["batch_stats"] = st.batch_stats
-                    out, mut = module.apply(variables, inputs, train=True, mutable=["batch_stats"], rngs=rngs)
+                    out, mut = apply_fn(variables, inputs, train=True, mutable=["batch_stats"], rngs=rngs)
                     new_bs = mut["batch_stats"]
                 else:
-                    out = module.apply(variables, inputs, train=True, rngs=rngs)
+                    out = apply_fn(variables, inputs, train=True, rngs=rngs)
                     new_bs = st.batch_stats
                 loss, aux = criterion(out, targets)
                 return loss, (aux, new_bs, out)
@@ -247,7 +258,8 @@ class Trainer:
 
         def _make_eval_step(criterion):
           def eval_step(variables, dev_metric_states, inputs, targets):
-            out = module.apply(variables, inputs, train=False)
+            variables = {**variables, "params": param_transform(variables["params"])}
+            out = apply_fn(variables, inputs, train=False)
             new_dev = valid_metrics.update_device_only(dev_metric_states, out, targets)
             host_aux = valid_metrics.preprocess_device(out, targets)
             loss, _ = criterion(out, targets)
