@@ -63,3 +63,29 @@ def broadcast_from_primary(x: Any) -> Any:
     from jax.experimental import multihost_utils
 
     return multihost_utils.broadcast_one_to_all(x)
+
+
+def all_gather_variable_length(arrays: dict) -> dict:
+    """All-gather a dict of per-process arrays whose LEADING dimension differs
+    across processes (host metric states — ref DetectionMetrics DDP gather /
+    accumulate_on_cpu). Arrays are padded to the global max length, gathered with
+    ``process_allgather``, and re-concatenated with padding stripped.
+
+    Single-process: returns the arrays unchanged.
+    """
+    if not is_distributed():
+        return dict(arrays)
+    from jax.experimental import multihost_utils
+
+    keys = sorted(arrays)
+    n_local = len(next(iter(arrays.values()))) if arrays else 0
+    lengths = np.asarray(multihost_utils.process_allgather(jnp.asarray([n_local], jnp.int32))).reshape(-1)
+    n_max = int(lengths.max())
+    out = {}
+    for k in keys:
+        a = np.asarray(arrays[k])
+        pad_width = [(0, n_max - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        padded = np.pad(a, pad_width)
+        g = np.asarray(multihost_utils.process_allgather(jnp.asarray(padded)))  # [P, n_max, ...]
+        out[k] = np.concatenate([g[p, : lengths[p]] for p in range(g.shape[0])], axis=0)
+    return out

@@ -30,32 +30,93 @@ def _np_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return inter / (area_a[:, None] + area_b[None, :] - inter + 1e-9)
 
 
+def _np_ioa(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection over the area of ``a`` (ref detection_utils.py:797 crowd_ioa)."""
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = np.clip(a[:, 2] - a[:, 0], 0, None) * np.clip(a[:, 3] - a[:, 1], 0, None)
+    return inter / (area_a[:, None] + 1e-9)
+
+
 def match_predictions_to_gt(
     pred_boxes: np.ndarray,  # [P, 4] xyxy, sorted by score desc
     pred_labels: np.ndarray,  # [P]
     gt_boxes: np.ndarray,  # [G, 4]
     gt_labels: np.ndarray,  # [G]
     iou_thresholds: np.ndarray,  # [T]
-) -> np.ndarray:
+    crowd_boxes: Optional[np.ndarray] = None,  # [Gc, 4]
+    crowd_labels: Optional[np.ndarray] = None,  # [Gc]
+) -> Tuple[np.ndarray, np.ndarray]:
     """Greedy per-threshold matching (higher-scored pred wins each gt).
 
-    Returns tp: [P, T] bool. Same algorithm as the reference's IoUMatching
-    (detection_utils.py:880+): candidate pairs (same class, IoU >= t) are ranked by
-    IoU and greedily assigned so each gt and each pred match at most once.
+    Returns (tp [P, T] bool, keep [P, T] bool). Same algorithm as the reference's
+    IoUMatching (detection_utils.py:880+): candidate pairs (same class, IoU >= t)
+    are ranked by IoU and greedily assigned so each gt and each pred match at most
+    once. Crowd handling (detection_utils.py:797): an UNMATCHED prediction whose
+    IoA with a same-class crowd gt exceeds the threshold is EXCLUDED from scoring
+    (keep=False — neither TP nor FP), matching pycocotools' iscrowd semantics.
     """
     p, g = len(pred_boxes), len(gt_boxes)
     t = len(iou_thresholds)
     tp = np.zeros((p, t), dtype=bool)
-    if p == 0 or g == 0:
-        return tp
-    iou = _np_iou(pred_boxes, gt_boxes)
-    same_cls = pred_labels[:, None] == gt_labels[None, :]
-    iou = np.where(same_cls, iou, 0.0)
+    keep = np.ones((p, t), dtype=bool)
+    if p == 0:
+        return tp, keep
+    iou = None
+    if g > 0:
+        iou = _np_iou(pred_boxes, gt_boxes)
+        same_cls = pred_labels[:, None] == gt_labels[None, :]
+        iou = np.where(same_cls, iou, 0.0)
+    crowd_ioa = None
+    if crowd_boxes is not None and len(crowd_boxes) > 0:
+        crowd_ioa = _np_ioa(pred_boxes, crowd_boxes)
+        crowd_same = pred_labels[:, None] == crowd_labels[None, :]
+        crowd_ioa = np.where(crowd_same, crowd_ioa, 0.0).max(axis=1)  # [P]
     for ti, thr in enumerate(iou_thresholds):
-        cand_p, cand_g = np.nonzero(iou >= thr)
+        if iou is not None:
+            cand_p, cand_g = np.nonzero(iou >= thr)
+            if len(cand_p):
+                order = np.argsort(-iou[cand_p, cand_g])
+                used_p = np.zeros(p, bool)
+                used_g = np.zeros(g, bool)
+                for k in order:
+                    pi, gi = cand_p[k], cand_g[k]
+                    if not used_p[pi] and not used_g[gi]:
+                        used_p[pi] = used_g[gi] = True
+                        tp[pi, ti] = True
+        if crowd_ioa is not None:
+            keep[:, ti] = tp[:, ti] | (crowd_ioa <= thr)
+    return tp, keep
+
+
+def match_predictions_to_gt_distance(
+    pred_boxes: np.ndarray,
+    pred_labels: np.ndarray,
+    gt_boxes: np.ndarray,
+    gt_labels: np.ndarray,
+    distance_thresholds: np.ndarray,  # [T] pixels
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Center-distance matching (ref DetectionMetricsDistanceBased /
+    DistanceMatching, detection_utils.py:1008): candidate pairs are same-class
+    with center distance <= t, greedily assigned smallest-distance-first."""
+    p, g = len(pred_boxes), len(gt_boxes)
+    t = len(distance_thresholds)
+    tp = np.zeros((p, t), dtype=bool)
+    keep = np.ones((p, t), dtype=bool)
+    if p == 0 or g == 0:
+        return tp, keep
+    pc = (pred_boxes[:, :2] + pred_boxes[:, 2:]) / 2
+    gc = (gt_boxes[:, :2] + gt_boxes[:, 2:]) / 2
+    dist = np.linalg.norm(pc[:, None] - gc[None, :], axis=-1)
+    same_cls = pred_labels[:, None] == gt_labels[None, :]
+    dist = np.where(same_cls, dist, np.inf)
+    for ti, thr in enumerate(distance_thresholds):
+        cand_p, cand_g = np.nonzero(dist <= thr)
         if len(cand_p) == 0:
             continue
-        order = np.argsort(-iou[cand_p, cand_g])
+        order = np.argsort(dist[cand_p, cand_g])
         used_p = np.zeros(p, bool)
         used_g = np.zeros(g, bool)
         for k in order:
@@ -63,50 +124,93 @@ def match_predictions_to_gt(
             if not used_p[pi] and not used_g[gi]:
                 used_p[pi] = used_g[gi] = True
                 tp[pi, ti] = True
-    return tp
+    return tp, keep
 
 
-def compute_ap(tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray, n_gt_per_class: np.ndarray) -> Tuple:
+def compute_ap(
+    tp: np.ndarray,
+    conf: np.ndarray,
+    pred_cls: np.ndarray,
+    n_gt_per_class: np.ndarray,
+    keep: Optional[np.ndarray] = None,
+) -> Tuple:
     """Per-class AP with 101-point interpolation (ref compute_detection_metrics :1361).
 
-    tp: [N, T]; conf: [N]; pred_cls: [N]; n_gt_per_class: [C].
+    tp: [N, T]; conf: [N]; pred_cls: [N]; n_gt_per_class: [C]; keep: [N, T]
+    (crowd-excluded predictions are False and counted as neither TP nor FP).
     Returns (ap [C, T], precision [C, T], recall [C, T], f1 [C, T], classes_with_gt mask [C]).
     """
     num_classes = len(n_gt_per_class)
     t = tp.shape[1] if tp.ndim == 2 else 1
+    if keep is None:
+        keep = np.ones_like(tp, dtype=bool)
     ap = np.zeros((num_classes, t))
     precision = np.zeros((num_classes, t))
     recall = np.zeros((num_classes, t))
 
     order = np.argsort(-conf)
-    tp, conf, pred_cls = tp[order], conf[order], pred_cls[order]
+    tp, conf, pred_cls, keep = tp[order], conf[order], pred_cls[order], keep[order]
     recall_points = np.linspace(0, 1, 101)
 
     for c in range(num_classes):
         mask = pred_cls == c
         n_gt = n_gt_per_class[c]
         n_p = int(mask.sum())
-        if n_p == 0 and n_gt == 0:
-            continue
         if n_p == 0 or n_gt == 0:
             continue
-        tpc = tp[mask].cumsum(axis=0)  # [n_p, T]
-        fpc = (~tp[mask]).cumsum(axis=0)
-        rec = tpc / (n_gt + 1e-16)
-        prec = tpc / (tpc + fpc)
-        precision[c] = prec[-1]
-        recall[c] = rec[-1]
         for ti in range(t):
+            mk = mask & keep[:, ti]
+            tpc = tp[mk, ti].cumsum()
+            fpc = (~tp[mk, ti]).cumsum()
+            if len(tpc) == 0:
+                continue
+            rec = tpc / (n_gt + 1e-16)
+            prec = tpc / (tpc + fpc)
+            precision[c, ti] = prec[-1]
+            recall[c, ti] = rec[-1]
             # COCO 101-point AP: mean of the precision envelope sampled at the
             # first rank where recall >= r (0 where recall never reaches r)
-            mrec = rec[:, ti]
-            env = np.flip(np.maximum.accumulate(np.flip(prec[:, ti])))
-            inds = np.searchsorted(mrec, recall_points, side="left")
-            valid = inds < len(mrec)
+            env = np.flip(np.maximum.accumulate(np.flip(prec)))
+            inds = np.searchsorted(rec, recall_points, side="left")
+            valid = inds < len(rec)
             ap[c, ti] = env[inds[valid]].sum() / len(recall_points)
     f1 = 2 * precision * recall / (precision + recall + 1e-16)
     has_gt = n_gt_per_class > 0
     return ap, precision, recall, f1, has_gt
+
+
+def best_score_threshold(
+    tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray, n_gt_per_class: np.ndarray, keep: Optional[np.ndarray] = None
+) -> Tuple[float, float]:
+    """Score threshold maximizing mean-class F1 at the first IoU threshold
+    (ref detection_metrics.py:88 best_score_threshold). Returns (threshold, best_f1)."""
+    if len(conf) == 0:
+        return 0.0, 0.0
+    if keep is None:
+        keep = np.ones_like(tp, dtype=bool)
+    grid = np.linspace(0, 1, 101)
+    order = np.argsort(-conf)
+    tp0, conf_s, cls_s, keep0 = tp[order, 0], conf[order], pred_cls[order], keep[order, 0]
+    f1s = np.zeros((len(grid),))
+    classes = [c for c in range(len(n_gt_per_class)) if n_gt_per_class[c] > 0]
+    if not classes:
+        return 0.0, 0.0
+    for c in classes:
+        mk = (cls_s == c) & keep0
+        tpc = tp0[mk].cumsum()
+        confc = conf_s[mk]
+        n_gt = n_gt_per_class[c]
+        if len(tpc) == 0:
+            continue
+        # number of preds with conf >= s  (confc is descending)
+        counts = len(confc) - np.searchsorted(-confc, -grid, side="left")
+        tp_at = np.where(counts > 0, tpc[np.maximum(counts - 1, 0)], 0.0)
+        prec = np.where(counts > 0, tp_at / np.maximum(counts, 1), 0.0)
+        rec = tp_at / (n_gt + 1e-16)
+        f1s += 2 * prec * rec / (prec + rec + 1e-16)
+    f1s /= len(classes)
+    bi = int(np.argmax(f1s))
+    return float(grid[bi]), float(f1s[bi])
 
 
 @register_metric("DetectionMetrics")
@@ -126,6 +230,10 @@ class DetectionMetrics(Metric):
         class_agnostic_nms: bool = False,
         multi_label_per_box: bool = True,
         nms_mode: str = "exact",
+        include_classwise_ap: bool = False,
+        class_names: Optional[Sequence[str]] = None,
+        calc_best_score_thresholds: bool = True,
+        sync_on_compute: bool = True,
     ):
         self.num_cls = num_cls
         self.iou_thresholds = np.asarray(iou_thresholds if iou_thresholds is not None else np.linspace(0.5, 0.95, 10))
@@ -136,6 +244,10 @@ class DetectionMetrics(Metric):
         self.class_agnostic_nms = class_agnostic_nms
         self.multi_label_per_box = multi_label_per_box
         self.nms_mode = nms_mode
+        self.include_classwise_ap = include_classwise_ap
+        self.class_names = list(class_names) if class_names else None
+        self.calc_best_score_thresholds = calc_best_score_thresholds
+        self.sync_on_compute = sync_on_compute
 
     @property
     def _range_str(self) -> str:
@@ -143,7 +255,10 @@ class DetectionMetrics(Metric):
         return f"{lo:.2f}" if len(self.iou_thresholds) == 1 else f"{lo:.2f}:{hi:.2f}"
 
     def init(self):
-        return {"tp": [], "conf": [], "cls": [], "n_gt": np.zeros(self.num_cls, dtype=np.int64)}
+        return {"tp": [], "conf": [], "cls": [], "keep": [], "n_gt": np.zeros(self.num_cls, dtype=np.int64)}
+
+    def _match(self, pb, pl, gb, gl, crowd_b, crowd_l):
+        return match_predictions_to_gt(pb, pl, gb, gl, self.iou_thresholds, crowd_b, crowd_l)
 
     def preprocess_device(self, outputs, targets):
         """Fused decode+NMS on device (jittable)."""
@@ -162,37 +277,79 @@ class DetectionMetrics(Metric):
         )
 
     def update(self, state, nms_out, targets):
-        """Host: greedy matching per image. targets: [B, max_boxes, 5] padded."""
+        """Host: greedy matching per image.
+
+        targets: [B, max_boxes, 5] padded (cls, x1, y1, x2, y2), or
+        [B, max_boxes, 6] with an is_crowd flag in column 5 — crowd gts are
+        excluded from matching and unmatched predictions overlapping them (IoA >
+        threshold) are dropped from scoring (ref detection_utils.py:797).
+        """
         boxes = np.asarray(nms_out.boxes)
         scores = np.asarray(nms_out.scores)
         labels = np.asarray(nms_out.labels)
         nums = np.asarray(nms_out.num_detections)
         targets = np.asarray(targets)
+        has_crowd_col = targets.shape[-1] >= 6
         for i in range(boxes.shape[0]):
             n = int(nums[i])
             pb, ps, pl = boxes[i, :n], scores[i, :n], labels[i, :n]
-            valid_gt = targets[i, :, 0] >= 0
-            gb = targets[i, valid_gt, 1:5]
-            gl = targets[i, valid_gt, 0].astype(np.int64)
+            valid = targets[i, :, 0] >= 0
+            is_crowd = (targets[i, :, 5] > 0) & valid if has_crowd_col else np.zeros_like(valid)
+            reg = valid & ~is_crowd
+            gb = targets[i, reg, 1:5]
+            gl = targets[i, reg, 0].astype(np.int64)
+            cb = targets[i, is_crowd, 1:5] if has_crowd_col else None
+            cl = targets[i, is_crowd, 0].astype(np.int64) if has_crowd_col else None
             order = np.argsort(-ps)
             pb, ps, pl = pb[order], ps[order], pl[order]
-            tp = match_predictions_to_gt(pb, pl, gb, gl, self.iou_thresholds)
+            tp, keep = self._match(pb, pl, gb, gl, cb, cl)
             state["tp"].append(tp)
             state["conf"].append(ps)
             state["cls"].append(pl)
+            state["keep"].append(keep)
             np.add.at(state["n_gt"], gl, 1)
         return state
 
+    def _gather_across_processes(self, state):
+        """All-gather host metric state across processes so every process
+        computes the GLOBAL metric (ref DetectionMetrics DDP state sync /
+        accumulate_on_cpu)."""
+        import jax
+
+        if not self.sync_on_compute or jax.process_count() == 1:
+            return state
+        from super_gradients_tpu.parallel.collectives import all_gather_variable_length
+
+        t = len(self.iou_thresholds)
+        tp = np.concatenate(state["tp"]) if state["tp"] else np.zeros((0, t), bool)
+        keep = np.concatenate(state["keep"]) if state["keep"] else np.ones((0, t), bool)
+        conf = np.concatenate(state["conf"]) if state["conf"] else np.zeros((0,), np.float32)
+        cls = np.concatenate(state["cls"]) if state["cls"] else np.zeros((0,), np.int64)
+        gathered = all_gather_variable_length(
+            {"tp": tp.astype(np.int8), "keep": keep.astype(np.int8), "conf": conf.astype(np.float32), "cls": cls.astype(np.int64)}
+        )
+        n_gt = np.asarray(jax.experimental.multihost_utils.process_allgather(state["n_gt"])).sum(axis=0)
+        return {
+            "tp": [gathered["tp"].astype(bool)],
+            "keep": [gathered["keep"].astype(bool)],
+            "conf": [gathered["conf"]],
+            "cls": [gathered["cls"]],
+            "n_gt": n_gt,
+        }
+
     def compute(self, state) -> Dict[str, float]:
         rs = self._range_str
+        state = self._gather_across_processes(state)
+        empty = {f"mAP@{rs}": 0.0, f"Precision@{rs}": 0.0, f"Recall@{rs}": 0.0, f"F1@{rs}": 0.0}
         if not state["tp"]:
-            return {f"mAP@{rs}": 0.0, f"Precision@{rs}": 0.0, f"Recall@{rs}": 0.0, f"F1@{rs}": 0.0}
-        tp = np.concatenate(state["tp"]) if state["tp"] else np.zeros((0, len(self.iou_thresholds)), bool)
+            return empty
+        tp = np.concatenate(state["tp"])
         conf = np.concatenate(state["conf"])
         cls = np.concatenate(state["cls"])
-        ap, precision, recall, f1, has_gt = compute_ap(tp, conf, cls, state["n_gt"])
+        keep = np.concatenate(state["keep"]) if state.get("keep") else None
+        ap, precision, recall, f1, has_gt = compute_ap(tp, conf, cls, state["n_gt"], keep)
         if not has_gt.any():
-            return {f"mAP@{rs}": 0.0, f"Precision@{rs}": 0.0, f"Recall@{rs}": 0.0, f"F1@{rs}": 0.0}
+            return empty
         out = {
             f"mAP@{rs}": float(ap[has_gt].mean()),
             f"Precision@{rs}": float(precision[has_gt, 0].mean()),
@@ -201,6 +358,13 @@ class DetectionMetrics(Metric):
         }
         if len(self.iou_thresholds) > 1:
             out[f"mAP@{self.iou_thresholds[0]:.2f}"] = float(ap[has_gt, 0].mean())
+        if self.calc_best_score_thresholds:
+            thr, bf1 = best_score_threshold(tp, conf, cls, state["n_gt"], keep)
+            out["Best_score_threshold"] = thr
+        if self.include_classwise_ap:
+            for c in np.nonzero(has_gt)[0]:
+                name = self.class_names[c] if self.class_names and c < len(self.class_names) else str(c)
+                out[f"AP@{rs}_{name}"] = float(ap[c].mean())
         return out
 
 
@@ -221,3 +385,23 @@ class DetectionMetrics_075(DetectionMetrics):
 @register_metric("DetectionMetrics_050_095")
 class DetectionMetrics_050_095(DetectionMetrics):
     pass
+
+
+@register_metric("DetectionMetricsDistanceBased")
+class DetectionMetricsDistanceBased(DetectionMetrics):
+    """mAP with center-distance matching instead of IoU (ref
+    detection_metrics.py:295 DetectionMetricsDistanceBased). ``distance_thresholds``
+    are in pixels of the network input space."""
+
+    def __init__(self, distance_thresholds: Sequence[float] = (5.0,), **kw):
+        kw.pop("iou_thresholds", None)
+        super().__init__(iou_thresholds=list(distance_thresholds), **kw)
+        self.distance_thresholds = np.asarray(distance_thresholds, np.float32)
+
+    @property
+    def _range_str(self) -> str:
+        lo, hi = self.distance_thresholds[0], self.distance_thresholds[-1]
+        return f"dist{lo:g}" if len(self.distance_thresholds) == 1 else f"dist{lo:g}:{hi:g}"
+
+    def _match(self, pb, pl, gb, gl, crowd_b, crowd_l):
+        return match_predictions_to_gt_distance(pb, pl, gb, gl, self.distance_thresholds)

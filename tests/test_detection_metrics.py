@@ -29,11 +29,11 @@ def test_matching_greedy_semantics():
     labels = np.asarray([0, 0, 1])
     gts = np.asarray([[0, 0, 10, 10], [50, 50, 60, 60]], np.float32)
     gl = np.asarray([0, 1])
-    tp = match_predictions_to_gt(preds, labels, gts, gl, np.asarray([0.5]))
+    tp, _ = match_predictions_to_gt(preds, labels, gts, gl, np.asarray([0.5]))
     # pred0 takes gt0 (higher rank), pred1 can't re-match gt0, pred2 matches gt1
     assert tp[:, 0].tolist() == [True, False, True]
     # class mismatch kills the match
-    tp2 = match_predictions_to_gt(preds, np.asarray([1, 1, 0]), gts, gl, np.asarray([0.5]))
+    tp2, _ = match_predictions_to_gt(preds, np.asarray([1, 1, 0]), gts, gl, np.asarray([0.5]))
     assert tp2[:, 0].tolist() == [False, False, False]
 
 
@@ -103,3 +103,81 @@ def test_end_to_end_with_model_outputs():
     state = m.update(state, nms_out, targets)
     res = m.compute(state)
     assert "mAP@0.50:0.95" in res and np.isfinite(res["mAP@0.50:0.95"])
+
+
+def test_crowd_gt_excludes_unmatched_overlapping_preds():
+    """Unmatched preds overlapping a same-class crowd gt (IoA > t) are neither TP
+    nor FP (ref detection_utils.py:797 crowd_ioa / pycocotools iscrowd)."""
+    m = DetectionMetrics_050(num_cls=2, calc_best_score_thresholds=False)
+    state = m.init()
+    # one regular gt (cls 0) + one crowd region (cls 0)
+    targets = np.full((1, 4, 6), -1.0, np.float32)
+    targets[0, 0] = [0, 0, 0, 10, 10, 0]       # regular gt
+    targets[0, 1] = [0, 50, 50, 100, 100, 1]   # crowd gt
+    # preds: one matching the gt, one inside the crowd region, one true FP
+    boxes = np.zeros((1, 5, 4), np.float32)
+    boxes[0, 0] = [0, 0, 10, 10]
+    boxes[0, 1] = [60, 60, 80, 80]   # inside crowd → excluded
+    boxes[0, 2] = [200, 200, 220, 220]  # plain FP
+    scores = np.zeros((1, 5), np.float32); scores[0, :3] = [0.9, 0.8, 0.7]
+    labels = np.full((1, 5), -1, np.int32); labels[0, :3] = 0
+
+    from super_gradients_tpu.ops.nms import NMSOutput
+    out = NMSOutput(boxes=boxes, scores=scores, labels=labels, num_detections=np.asarray([3]))
+    state = m.update(state, out, targets)
+    res = m.compute(state)
+    # with the crowd pred excluded: 1 TP, 1 FP → precision 0.5; without crowd
+    # handling it would be 1/3
+    assert abs(res["Precision@0.50"] - 0.5) < 1e-6
+    # crowd gt must NOT count toward recall denominator
+    assert abs(res["Recall@0.50"] - 1.0) < 1e-6
+
+
+def test_classwise_ap_and_best_score_threshold():
+    m = DetectionMetrics_050(num_cls=3, include_classwise_ap=True, class_names=["cat", "dog", "bird"])
+    state = m.init()
+    targets = np.full((1, 4, 5), -1.0, np.float32)
+    targets[0, 0] = [0, 0, 0, 10, 10]
+    targets[0, 1] = [1, 20, 20, 40, 40]
+    boxes = np.zeros((1, 5, 4), np.float32)
+    boxes[0, 0] = [0, 0, 10, 10]
+    boxes[0, 1] = [20, 20, 40, 40]
+    scores = np.zeros((1, 5), np.float32); scores[0, :2] = [0.9, 0.8]
+    labels = np.full((1, 5), -1, np.int32); labels[0, :2] = [0, 1]
+    from super_gradients_tpu.ops.nms import NMSOutput
+    out = NMSOutput(boxes=boxes, scores=scores, labels=labels, num_detections=np.asarray([2]))
+    state = m.update(state, out, targets)
+    res = m.compute(state)
+    assert abs(res["AP@0.50_cat"] - 1.0) < 1e-2
+    assert abs(res["AP@0.50_dog"] - 1.0) < 1e-2
+    assert "AP@0.50_bird" not in res  # no gt for bird
+    assert 0.0 <= res["Best_score_threshold"] <= 0.9
+
+
+def test_distance_based_metrics():
+    from super_gradients_tpu.training.metrics.detection import DetectionMetricsDistanceBased
+
+    m = DetectionMetricsDistanceBased(num_cls=2, distance_thresholds=[10.0], calc_best_score_thresholds=False)
+    state = m.init()
+    targets = np.full((1, 2, 5), -1.0, np.float32)
+    targets[0, 0] = [0, 0, 0, 10, 10]  # center (5,5)
+    boxes = np.zeros((1, 3, 4), np.float32)
+    boxes[0, 0] = [2, 2, 14, 14]   # center (8,8) → dist ~4.2 < 10 → TP
+    boxes[0, 1] = [100, 100, 120, 120]  # far → FP
+    scores = np.zeros((1, 3), np.float32); scores[0, :2] = [0.9, 0.8]
+    labels = np.full((1, 3), -1, np.int32); labels[0, :2] = 0
+    from super_gradients_tpu.ops.nms import NMSOutput
+    out = NMSOutput(boxes=boxes, scores=scores, labels=labels, num_detections=np.asarray([2]))
+    state = m.update(state, out, targets)
+    res = m.compute(state)
+    assert res["Recall@dist10"] == 1.0
+    assert res["Precision@dist10"] == 0.5
+
+
+def test_all_gather_variable_length_single_process():
+    from super_gradients_tpu.parallel.collectives import all_gather_variable_length
+
+    arrays = {"a": np.arange(5), "b": np.ones((5, 2))}
+    out = all_gather_variable_length(arrays)
+    np.testing.assert_array_equal(out["a"], arrays["a"])
+    np.testing.assert_array_equal(out["b"], arrays["b"])
