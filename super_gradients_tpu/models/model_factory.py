@@ -90,6 +90,15 @@ def get(
             weight file to be available locally (this environment has no egress);
             use ``checkpoint_path`` with a downloaded reference ``.pth``.
     """
+    if checkpoint_num_classes is not None and num_classes is not None and checkpoint_num_classes != num_classes:
+        # load at the checkpoint's class count, then weight-preserving head swap
+        # (ref model_factory.py:250-254 replace_head after load)
+        base = get(
+            model_name, num_classes=checkpoint_num_classes, arch_params=arch_params,
+            checkpoint_path=checkpoint_path, pretrained_weights=pretrained_weights, seed=seed, **kwargs,
+        )
+        return replace_head(base, num_classes, seed=seed)
+
     builder = get_architecture(model_name)
     spec: ModelSpec = builder(num_classes=num_classes, arch_params=arch_params or {}, **kwargs)
 
@@ -140,3 +149,19 @@ def convert_from_torch(model: SgModel, state_dict, torch_key_mapper: Callable) -
     variables = convert_state_dict(state_dict, model.variables, torch_key_mapper)
     model.update_variables(variables)
     return model
+
+
+def replace_head(model: SgModel, new_num_classes: int, seed: int = 0) -> SgModel:
+    """Weight-preserving head replacement (ref ``SgModule.replace_head``,
+    sg_module.py:9-80 + head_replacement_utils.py): rebuild the architecture with
+    ``new_num_classes``, transfer every shape-matching weight (backbone/neck stay
+    bit-identical), and leave only the class-dependent head tensors freshly
+    initialized."""
+    from super_gradients_tpu.training.checkpoints import transfer_weights
+
+    new_model = get(model.name, num_classes=new_num_classes, seed=seed)
+    merged = transfer_weights(model.variables, new_model.variables)
+    new_model.update_variables(merged)
+    new_model._processing = model._processing
+    new_model._input_hw = model._input_hw
+    return new_model

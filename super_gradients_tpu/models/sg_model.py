@@ -91,6 +91,14 @@ class SgModel:
     def num_params(self) -> int:
         return sum(int(p.size) for p in jax.tree_util.tree_leaves(self.params))
 
+    def replace_head(self, new_num_classes: int, seed: int = 0) -> "SgModel":
+        """Weight-preserving head swap (ref SgModule.replace_head, sg_module.py:9-80):
+        backbone/neck weights stay bit-identical; only class-dependent head tensors
+        are re-initialized. Returns a NEW model."""
+        from super_gradients_tpu.models.model_factory import replace_head
+
+        return replace_head(self, new_num_classes, seed=seed)
+
     # -------------------------------------------------- processing params API
     # (reference HasPreprocessingParams / set_dataset_processing_params)
 

@@ -118,3 +118,33 @@ class AverageBestModels:
             return None
         trees = [p for _, p in self.snapshots]
         return jax.tree_util.tree_map(lambda *xs: np.mean(np.stack(xs), axis=0), *trees)
+
+
+def transfer_weights(src_tree: Dict, dst_tree: Dict) -> Dict:
+    """Copy every leaf whose path AND shape match from ``src_tree`` into a copy of
+    ``dst_tree`` (ref checkpoint_utils.py:30 ``transfer_weights`` — the partial-load
+    used by fine-tuning / head replacement). Mismatched or missing leaves keep the
+    destination's (freshly initialized) values.
+
+    Returns the merged tree; the number of transferred leaves is attached as
+    ``transfer_weights.last_transferred`` for logging/tests.
+    """
+    transferred = 0
+
+    def walk(src, dst):
+        nonlocal transferred
+        out = {}
+        for k, v in dst.items():
+            s = src.get(k) if isinstance(src, dict) else None
+            if isinstance(v, dict):
+                out[k] = walk(s if isinstance(s, dict) else {}, v)
+            elif s is not None and hasattr(s, "shape") and hasattr(v, "shape") and tuple(s.shape) == tuple(v.shape):
+                out[k] = s
+                transferred += 1
+            else:
+                out[k] = v
+        return out
+
+    merged = walk(src_tree, dst_tree)
+    transfer_weights.last_transferred = transferred
+    return merged

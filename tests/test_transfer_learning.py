@@ -1,0 +1,71 @@
+"""Weight-preserving transfer learning (ref checkpoint_utils.py:30 transfer_weights,
+head_replacement_utils.py, sg_module.py replace_head)."""
+
+import jax
+import numpy as np
+
+from super_gradients_tpu import models
+
+
+def _flat(tree, prefix=()):
+    for k, v in tree.items():
+        p = prefix + (k,)
+        if isinstance(v, dict):
+            yield from _flat(v, p)
+        else:
+            yield "/".join(p), v
+
+
+def test_replace_head_preserves_backbone_bitexact():
+    """VERDICT r1 done-criterion: load 80-class YOLO-NAS weights, replace to
+    8 classes, backbone params bit-identical."""
+    m80 = models.get("yolo_nas_s", num_classes=80, image_size=64, seed=3)
+    m8 = m80.replace_head(8)
+    assert m8.num_classes == 8
+    p80 = dict(_flat(m80.params))
+    p8 = dict(_flat(m8.params))
+    n_same = n_diff_shape = 0
+    for k, v in p8.items():
+        if "backbone" in k or "neck" in k:
+            np.testing.assert_array_equal(np.asarray(v), np.asarray(p80[k]), err_msg=k)
+            n_same += 1
+        elif np.asarray(v).shape != np.asarray(p80[k]).shape:
+            n_diff_shape += 1
+    assert n_same > 50
+    assert n_diff_shape > 0  # cls_pred tensors actually changed shape
+    # forward runs at the new class count
+    out = m8.module.apply(m8.variables, np.zeros((1, 64, 64, 3), np.float32), train=False)
+    assert out.pred_scores.shape[-1] == 8
+
+
+def test_replace_head_classification():
+    m10 = models.get("resnet18_cifar", num_classes=10)
+    m3 = m10.replace_head(3)
+    logits = m3.apply(np.zeros((1, 32, 32, 3), np.float32))
+    assert logits.shape == (1, 3)
+
+
+def test_transfer_weights_counts():
+    from super_gradients_tpu.training.checkpoints import transfer_weights
+
+    a = models.get("resnet18_cifar", num_classes=10, seed=0)
+    b = models.get("resnet18_cifar", num_classes=10, seed=1)
+    merged = transfer_weights(a.variables, b.variables)
+    assert transfer_weights.last_transferred == len(list(_flat(a.variables)))
+    for (k1, v1), (k2, v2) in zip(_flat(merged), _flat(a.variables)):
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_checkpoint_num_classes_path(tmp_path):
+    """models.get(..., num_classes=N, checkpoint_num_classes=M) loads at M then swaps."""
+    import super_gradients_tpu.training.checkpoints as ck
+
+    m = models.get("resnet18_cifar", num_classes=10)
+    ck.save_checkpoint(str(tmp_path), "ckpt", {"params": m.params, "batch_stats": m.batch_stats})
+    m2 = models.get("resnet18_cifar", num_classes=4, checkpoint_path=str(tmp_path / "ckpt"), checkpoint_num_classes=10)
+    assert m2.num_classes == 4
+    # non-head weights must equal the checkpoint's
+    p_src = dict(_flat(m.params))
+    for k, v in _flat(m2.params):
+        if np.asarray(v).shape == np.asarray(p_src[k]).shape and "linear" not in k.lower() and "dense" not in k.lower() and "fc" not in k.lower():
+            np.testing.assert_array_equal(np.asarray(v), np.asarray(p_src[k]), err_msg=k)
