@@ -107,15 +107,139 @@ def export_detection_model(
     return ExportResult(output_path, spec.shape, str(spec.dtype), usage)
 
 
+def export_pose_estimation_model(
+    model,
+    output_path: str,
+    batch_size: int = 1,
+    image_hw: Optional[Tuple[int, int]] = None,
+    confidence_threshold: float = 0.5,
+    nms_threshold: float = 0.7,
+    nms_top_k: int = 1024,
+    max_predictions: int = 30,
+    bf16: bool = True,
+    nms_mode: str = "exact",
+    preprocessing: bool = True,
+) -> ExportResult:
+    """Serialize the fused pose predict program: standardize → forward → pose decode →
+    pose-NMS (ref module_interfaces/exportable_pose_estimation.py ExportablePoseEstimationModel
+    — same BATCHED output contract: num_detections/boxes/scores/poses)."""
+    from jax import export as jax_export
+
+    from super_gradients_tpu.ops.nms import PoseNMSOutput, batched_pose_nms
+
+    try:
+        jax_export.register_namedtuple_serialization(PoseNMSOutput, serialized_name="PoseNMSOutput")
+    except ValueError:
+        pass
+
+    if getattr(model, "task", None) != "pose_estimation":
+        raise TypeError(f"export_pose_estimation_model requires a pose model; got task `{getattr(model, 'task', '?')}`")
+    image_hw = image_hw or model._input_hw
+    variables = model.variables
+    if bf16:
+        variables = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, variables
+        )
+    module = model.module
+    in_dtype = jnp.bfloat16 if bf16 else jnp.float32
+
+    def program(images):
+        x = images.astype(in_dtype)
+        if preprocessing:
+            x = x / 255.0
+        out = module.apply(variables, x, train=False)
+        return batched_pose_nms(
+            out.pred_bboxes.astype(jnp.float32),
+            out.pred_scores.astype(jnp.float32),
+            out.pred_pose_coords.astype(jnp.float32),
+            out.pred_pose_scores.astype(jnp.float32),
+            score_threshold=confidence_threshold,
+            iou_threshold=nms_threshold,
+            nms_top_k=nms_top_k,
+            max_predictions=max_predictions,
+            mode=nms_mode,
+        )
+
+    spec = jax.ShapeDtypeStruct((batch_size, image_hw[0], image_hw[1], 3), jnp.uint8 if preprocessing else jnp.float32)
+    exported = jax_export.export(jax.jit(program))(spec)
+    blob = exported.serialize()
+    os.makedirs(os.path.dirname(os.path.abspath(output_path)) or ".", exist_ok=True)
+    with open(output_path, "wb") as f:
+        f.write(blob)
+    usage = (
+        f"Exported fused pose-estimation program to {output_path} ({len(blob) / 1e6:.1f} MB).\n"
+        f"Input: uint8 [{batch_size}, {image_hw[0]}, {image_hw[1]}, 3] (RGB, 0-255).\n"
+        "Load: jax.export.deserialize(...).call(images) -> "
+        f"poses [{batch_size}, {max_predictions}, K, 3], boxes [..., 4], scores, num_detections."
+    )
+    logger.info(usage.splitlines()[0])
+    return ExportResult(output_path, spec.shape, str(spec.dtype), usage)
+
+
+def export_segmentation_model(
+    model,
+    output_path: str,
+    batch_size: int = 1,
+    image_hw: Optional[Tuple[int, int]] = None,
+    confidence_threshold: float = 0.5,
+    bf16: bool = True,
+    preprocessing: bool = True,
+) -> ExportResult:
+    """Serialize the fused segmentation program: standardize → forward → decode to a
+    [B, H, W] int32 class-index map (ref module_interfaces/exportable_segmentation.py
+    SemanticSegmentationDecodingModule argmax / BinarySegmentationDecodingModule
+    threshold)."""
+    from jax import export as jax_export
+
+    if getattr(model, "task", None) != "segmentation":
+        raise TypeError(f"export_segmentation_model requires a segmentation model; got task `{getattr(model, 'task', '?')}`")
+    image_hw = image_hw or model._input_hw
+    variables = model.variables
+    if bf16:
+        variables = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, variables
+        )
+    module = model.module
+    in_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    binary = model.num_classes == 1
+
+    def program(images):
+        x = images.astype(in_dtype)
+        if preprocessing:
+            x = x / 255.0
+        logits = module.apply(variables, x, train=False)
+        if isinstance(logits, (tuple, list)):
+            logits = logits[0]  # aux heads: first tensor is the class prediction
+        logits = logits.astype(jnp.float32)
+        if binary:
+            return (jax.nn.sigmoid(logits[..., 0]) > confidence_threshold).astype(jnp.int32)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    spec = jax.ShapeDtypeStruct((batch_size, image_hw[0], image_hw[1], 3), jnp.uint8 if preprocessing else jnp.float32)
+    exported = jax_export.export(jax.jit(program))(spec)
+    blob = exported.serialize()
+    os.makedirs(os.path.dirname(os.path.abspath(output_path)) or ".", exist_ok=True)
+    with open(output_path, "wb") as f:
+        f.write(blob)
+    usage = (
+        f"Exported fused segmentation program to {output_path} ({len(blob) / 1e6:.1f} MB).\n"
+        f"Input: uint8 [{batch_size}, {image_hw[0]}, {image_hw[1]}, 3] (RGB, 0-255).\n"
+        f"Load: jax.export.deserialize(...).call(images) -> class map int32 [{batch_size}, H, W]."
+    )
+    logger.info(usage.splitlines()[0])
+    return ExportResult(output_path, spec.shape, str(spec.dtype), usage)
+
+
 def load_exported(path: str):
     """Deserialize an exported program; returns object with ``.call(*args)``."""
     from jax import export as jax_export
 
-    from super_gradients_tpu.ops.nms import NMSOutput
+    from super_gradients_tpu.ops.nms import NMSOutput, PoseNMSOutput
 
-    try:
-        jax_export.register_namedtuple_serialization(NMSOutput, serialized_name="NMSOutput")
-    except ValueError:
-        pass
+    for t, n in ((NMSOutput, "NMSOutput"), (PoseNMSOutput, "PoseNMSOutput")):
+        try:
+            jax_export.register_namedtuple_serialization(t, serialized_name=n)
+        except ValueError:
+            pass
     with open(path, "rb") as f:
         return jax_export.deserialize(f.read())

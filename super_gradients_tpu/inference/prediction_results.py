@@ -92,6 +92,8 @@ class PoseEstimationPrediction:
     scores: np.ndarray  # [N]
     bboxes_xyxy: Optional[np.ndarray] = None
     edge_links: Optional[Sequence] = None
+    edge_colors: Optional[Sequence] = None  # per-link RGB (ref PoseVisualization)
+    keypoint_colors: Optional[Sequence] = None  # per-joint RGB
     image: Optional[np.ndarray] = None
 
     def __len__(self):
@@ -105,12 +107,14 @@ class PoseEstimationPrediction:
         for pose_i, pose in enumerate(self.poses):
             color = _PALETTE[pose_i % len(_PALETTE)]
             if self.edge_links is not None:
-                for a, b in self.edge_links:
+                for link_i, (a, b) in enumerate(self.edge_links):
                     if pose[a, 2] > 0 and pose[b, 2] > 0:
-                        d.line([tuple(pose[a, :2]), tuple(pose[b, :2])], fill=color, width=2)
-            for x, y, v in pose:
+                        ec = tuple(self.edge_colors[link_i]) if self.edge_colors is not None else color
+                        d.line([tuple(pose[a, :2]), tuple(pose[b, :2])], fill=ec, width=2)
+            for joint_i, (x, y, v) in enumerate(pose):
                 if v > 0:
-                    d.ellipse([x - keypoint_radius, y - keypoint_radius, x + keypoint_radius, y + keypoint_radius], fill=color)
+                    kc = tuple(self.keypoint_colors[joint_i]) if self.keypoint_colors is not None else color
+                    d.ellipse([x - keypoint_radius, y - keypoint_radius, x + keypoint_radius, y + keypoint_radius], fill=kc)
         return np.asarray(img)
 
     def save(self, output_path: str, **kwargs):

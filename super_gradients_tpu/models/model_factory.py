@@ -122,6 +122,15 @@ def get(
         input_hw=spec.input_hw,
     )
 
+    if pretrained_weights is not None:
+        # attach the processing params the published checkpoint was evaluated with
+        # (ref model_factory.py instantiate_model -> get_pretrained_processing_params)
+        from super_gradients_tpu.inference.processing import get_pretrained_processing_params
+
+        proc_params = get_pretrained_processing_params(model_name, pretrained_weights)
+        if proc_params:
+            model.set_dataset_processing_params(**proc_params)
+
     if pretrained_weights is not None and checkpoint_path is None:
         # zero-egress env: resolve against the local mirror ($SG_PRETRAINED_DIR);
         # raises with the published URL when the file is absent

@@ -106,12 +106,29 @@ class SgModel:
         self,
         class_names: Optional[List[str]] = None,
         image_processor: Optional[Processing] = None,
+        conf: Optional[float] = None,
+        iou: Optional[float] = None,
+        edge_links=None,
+        edge_colors=None,
+        keypoint_colors=None,
         **kwargs,
     ):
+        """Attach dataset-derived inference params (ref HasPredict.set_dataset_processing_params:
+        class names, preprocessing pipeline, NMS conf/iou defaults, pose skeleton)."""
         if class_names is not None:
             self._class_names = list(class_names)
         if image_processor is not None:
             self._processing = image_processor
+        if conf is not None:
+            self._default_nms_conf = float(conf)
+        if iou is not None:
+            self._default_nms_iou = float(iou)
+        if edge_links is not None:
+            self._edge_links = edge_links
+        if edge_colors is not None:
+            self._edge_colors = edge_colors
+        if keypoint_colors is not None:
+            self._keypoint_colors = keypoint_colors
         self._predict_cache.clear()
 
     def get_processing_params(self) -> Optional[Processing]:
@@ -123,6 +140,21 @@ class SgModel:
 
     def predict(self, images, **kwargs):
         raise NotImplementedError(f"predict() is not implemented for task `{self.task}`")
+
+    def export(self, output_path: str, **kwargs):
+        """Serialize the fused inference program to a StableHLO artifact
+        (ref ExportableObjectDetectionModel.export / ExportablePoseEstimationModel /
+        ExportableSegmentationModel — one ``model.export(path)`` per task)."""
+        from super_gradients_tpu.conversion import export as export_mod
+
+        fn = {
+            "detection": export_mod.export_detection_model,
+            "pose_estimation": export_mod.export_pose_estimation_model,
+            "segmentation": export_mod.export_segmentation_model,
+        }.get(self.task)
+        if fn is None:
+            raise NotImplementedError(f"export() is not supported for task `{self.task}`")
+        return fn(self, output_path, **kwargs)
 
     def predict_video(self, video_path: str, batch_size: int = 32, max_frames: Optional[int] = None, **kwargs):
         """Per-frame predict over a video file (ref pipelines.py predict_video).
@@ -436,7 +468,12 @@ class SegmentationModel(SgModel):
             for j in range(n_valid):
                 seg = maps[j]
                 h, w = image_list[img_idx].shape[:2]
-                if seg.shape != (h, w):  # undo resize back to original
+                meta = metas[img_idx]
+                if meta is not None and self._processing is not None:
+                    # undo padding+rescale through the processing pipeline
+                    # (ref SegmentationResizeWithPadding.postprocess_predictions)
+                    seg = self._processing.postprocess_segmentation(seg, meta)
+                if seg.shape != (h, w):  # fallback: plain resize back to original
                     from PIL import Image
 
                     seg = np.asarray(Image.fromarray(seg.astype(np.uint8)).resize((w, h), Image.NEAREST))
@@ -456,6 +493,8 @@ class PoseEstimationModel(SgModel):
     def __init__(self, *args, edge_links=None, **kwargs):
         super().__init__(*args, **kwargs)
         self._edge_links = edge_links
+        self._edge_colors = None
+        self._keypoint_colors = None
         self._default_nms_conf = 0.5
         self._default_nms_iou = 0.7
         self._default_pre_nms_max_predictions = 1024
@@ -530,8 +569,47 @@ class PoseEstimationModel(SgModel):
                         scores=scores[j, :n],
                         bboxes_xyxy=bj,
                         edge_links=self._edge_links,
+                        edge_colors=self._edge_colors,
+                        keypoint_colors=self._keypoint_colors,
                         image=image_list[img_idx],
                     )
                 )
                 img_idx += 1
         return ImagesPredictions(preds)
+
+    def predict_batch_tensor(self, images, conf: Optional[float] = None, iou: Optional[float] = None,
+                             nms_top_k: Optional[int] = None, max_predictions: Optional[int] = None,
+                             nms_mode: str = "exact", bf16: bool = True):
+        """Raw fused pose path for uniform pre-sized input [B,H,W,3] float 0-1
+        (bench/serving/rescoring-data generation). Returns :class:`PoseNMSOutput`."""
+        from super_gradients_tpu.ops.nms import batched_pose_nms
+
+        conf = conf if conf is not None else self._default_nms_conf
+        iou = iou if iou is not None else self._default_nms_iou
+        nms_top_k = nms_top_k or self._default_pre_nms_max_predictions
+        max_predictions = max_predictions or self._default_post_nms_max_predictions
+        key = ("pose_raw", conf, iou, nms_top_k, max_predictions, nms_mode, bf16)
+        if key not in self._predict_cache:
+            variables = self.variables
+            if bf16:
+                variables = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                    variables,
+                )
+            module = self.module
+            in_dtype = jnp.bfloat16 if bf16 else jnp.float32
+
+            @jax.jit
+            def program(imgs):
+                out = module.apply(variables, imgs.astype(in_dtype), train=False)
+                return batched_pose_nms(
+                    out.pred_bboxes.astype(jnp.float32),
+                    out.pred_scores.astype(jnp.float32),
+                    out.pred_pose_coords.astype(jnp.float32),
+                    out.pred_pose_scores.astype(jnp.float32),
+                    score_threshold=conf, iou_threshold=iou,
+                    nms_top_k=nms_top_k, max_predictions=max_predictions, mode=nms_mode,
+                )
+
+            self._predict_cache[key] = program
+        return self._predict_cache[key](jnp.asarray(images))
