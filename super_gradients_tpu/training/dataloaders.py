@@ -36,6 +36,7 @@ class DataLoader:
         collate_fn: Optional[Callable] = None,
         seed: int = 0,
         min_samples: Optional[int] = None,
+        sampler=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -43,6 +44,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.collate_fn = collate_fn or default_collate
         self.seed = seed
+        self.sampler = sampler  # overrides index generation (training/samplers.py)
         self._epoch = 0
         # min_samples padding (ref dataloaders.py:165-227): repeat indices so tiny
         # datasets still fill every batch
@@ -55,16 +57,21 @@ class DataLoader:
 
     def set_epoch(self, epoch: int):
         self._epoch = epoch
+        if self.sampler is not None and hasattr(self.sampler, "set_epoch"):
+            self.sampler.set_epoch(epoch)
 
     def __len__(self):
-        n = len(self._indices)
+        n = len(self.sampler) if self.sampler is not None else len(self._indices)
         return n // self.batch_size if self.drop_last else math.ceil(n / self.batch_size)
 
     def __iter__(self) -> Iterator:
-        idx = self._indices.copy()
-        if self.shuffle:
-            rng = np.random.RandomState(self.seed + self._epoch)
-            rng.shuffle(idx)
+        if self.sampler is not None:
+            idx = np.asarray(list(iter(self.sampler)))
+        else:
+            idx = self._indices.copy()
+            if self.shuffle:
+                rng = np.random.RandomState(self.seed + self._epoch)
+                rng.shuffle(idx)
         for i in range(len(self)):
             chunk = idx[i * self.batch_size : (i + 1) * self.batch_size]
             samples = [self.dataset[int(j)] for j in chunk]
@@ -477,6 +484,71 @@ def cityscapes_val(root: str, batch_size: int = 8, image_size=(512, 1024), **kw)
     return _cityscapes_loader(root, "val", batch_size, image_size, False)
 
 
+# ----------------------------------------------- additional segmentation loaders
+# (ref dataloaders.py coco_segmentation_train, pascal_voc_segmentation_train,
+#  mapillary_train, supervisely_persons_train families)
+
+
+@register_dataloader("coco_segmentation_train")
+def coco_segmentation_train(data_dir: str, batch_size: int = 16, image_size=(512, 512), **kw) -> DataLoader:
+    from super_gradients_tpu.training.datasets_segmentation import CoCoSegmentationDataset
+
+    ds = CoCoSegmentationDataset(data_dir, subdir="images/train2017", json_file="instances_train2017.json", image_size=image_size)
+    return DataLoader(ds, batch_size=batch_size, shuffle=True, drop_last=True)
+
+
+@register_dataloader("coco_segmentation_val")
+def coco_segmentation_val(data_dir: str, batch_size: int = 16, image_size=(512, 512), **kw) -> DataLoader:
+    from super_gradients_tpu.training.datasets_segmentation import CoCoSegmentationDataset
+
+    ds = CoCoSegmentationDataset(data_dir, subdir="images/val2017", json_file="instances_val2017.json", image_size=image_size)
+    return DataLoader(ds, batch_size=batch_size, shuffle=False, drop_last=False)
+
+
+@register_dataloader("pascal_voc_segmentation_train")
+def pascal_voc_segmentation_train(root: str, batch_size: int = 16, image_size=(512, 512), **kw) -> DataLoader:
+    from super_gradients_tpu.training.datasets_segmentation import PascalVOC2012SegmentationDataset
+
+    return DataLoader(PascalVOC2012SegmentationDataset(root, "train", image_size), batch_size=batch_size, shuffle=True, drop_last=True)
+
+
+@register_dataloader("pascal_voc_segmentation_val")
+def pascal_voc_segmentation_val(root: str, batch_size: int = 16, image_size=(512, 512), **kw) -> DataLoader:
+    from super_gradients_tpu.training.datasets_segmentation import PascalVOC2012SegmentationDataset
+
+    return DataLoader(PascalVOC2012SegmentationDataset(root, "val", image_size), batch_size=batch_size, shuffle=False, drop_last=False)
+
+
+@register_dataloader("mapillary_train")
+def mapillary_train(root_dir: str, batch_size: int = 8, image_size=(512, 512), **kw) -> DataLoader:
+    from super_gradients_tpu.training.datasets_segmentation import MapillaryDataset
+
+    ds = MapillaryDataset(root_dir, samples_sub_directory="training/images", targets_sub_directory="training/v1.2/labels", image_size=image_size)
+    return DataLoader(ds, batch_size=batch_size, shuffle=True, drop_last=True)
+
+
+@register_dataloader("mapillary_val")
+def mapillary_val(root_dir: str, batch_size: int = 8, image_size=(512, 512), **kw) -> DataLoader:
+    from super_gradients_tpu.training.datasets_segmentation import MapillaryDataset
+
+    ds = MapillaryDataset(root_dir, samples_sub_directory="validation/images", targets_sub_directory="validation/v1.2/labels", image_size=image_size)
+    return DataLoader(ds, batch_size=batch_size, shuffle=False, drop_last=False)
+
+
+@register_dataloader("supervisely_persons_train")
+def supervisely_persons_train(root_dir: str, batch_size: int = 16, image_size=(480, 320), **kw) -> DataLoader:
+    from super_gradients_tpu.training.datasets_segmentation import SuperviselyPersonsDataset
+
+    return DataLoader(SuperviselyPersonsDataset(root_dir, "train.csv", image_size), batch_size=batch_size, shuffle=True, drop_last=True)
+
+
+@register_dataloader("supervisely_persons_val")
+def supervisely_persons_val(root_dir: str, batch_size: int = 16, image_size=(480, 320), **kw) -> DataLoader:
+    from super_gradients_tpu.training.datasets_segmentation import SuperviselyPersonsDataset
+
+    return DataLoader(SuperviselyPersonsDataset(root_dir, "val.csv", image_size), batch_size=batch_size, shuffle=False, drop_last=False)
+
+
 # ------------------------------------------------------------- COCO pose loaders
 # (reference coco2017_pose_train/val :700-780)
 
@@ -515,3 +587,76 @@ def coco2017_pose_val(data_dir: str, batch_size: int = 32, image_size=(640, 640)
     ds = COCOPoseEstimationDataset(data_dir=data_dir, json_annotation_file=json_file, images_dir=subdir,
                                    max_poses=max_poses, transforms=_pose_transforms(tuple(image_size), False))
     return DataLoader(ds, batch_size=batch_size, shuffle=False, drop_last=False)
+
+
+# ------------------------------------------------------------- DEKR dense-target loaders
+# (reference coco2017_pose_dekr_train :700, KeypointsCollate + DEKRTargetsGenerator)
+
+
+class DEKRTargetsDataset:
+    """Wrap a pose dataset (image, padded [max_poses, 5+3K] rows) with dense DEKR
+    target rendering (ref DEKRTargetsGenerator via dataset ``target_generator=``)."""
+
+    def __init__(self, base, num_joints: int = 17, target_generator=None):
+        from super_gradients_tpu.training.pose_targets import DEKRTargetsGenerator
+
+        self.base = base
+        self.num_joints = num_joints
+        self.target_generator = target_generator or DEKRTargetsGenerator()
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, i):
+        from super_gradients_tpu.training.pose_targets import padded_pose_targets_to_joints
+
+        image, padded = self.base[i]
+        joints, _ = padded_pose_targets_to_joints(padded, self.num_joints)
+        targets = self.target_generator(image.shape[:2], joints if len(joints) else np.zeros((0, self.num_joints, 3), np.float32))
+        return (image, *targets)
+
+
+def dekr_collate(samples: Sequence[Tuple]) -> Tuple:
+    """(image, hm, mask, off, ow) rows -> (images, (hm, mask, off, ow)) batch — the
+    trainer ships batch[1] as a pytree of dense targets."""
+    cols = list(zip(*samples))
+    stacked = [np.stack([np.asarray(s) for s in col]) for col in cols]
+    return stacked[0], tuple(stacked[1:])
+
+
+@register_dataloader("coco2017_pose_dekr_train")
+def coco2017_pose_dekr_train(data_dir: str, batch_size: int = 16, image_size=(640, 640), max_poses: int = 30,
+                             num_joints: int = 17, output_stride: int = 4,
+                             json_file: str = "person_keypoints_train2017.json", subdir: str = "images/train2017",
+                             **kw) -> DataLoader:
+    from super_gradients_tpu.training.datasets import COCOPoseEstimationDataset
+    from super_gradients_tpu.training.pose_targets import DEKRTargetsGenerator
+
+    base = COCOPoseEstimationDataset(data_dir=data_dir, json_annotation_file=json_file, images_dir=subdir,
+                                     max_poses=max_poses, transforms=_pose_transforms(tuple(image_size), True))
+    ds = DEKRTargetsDataset(base, num_joints=num_joints, target_generator=DEKRTargetsGenerator(output_stride=output_stride))
+    return DataLoader(ds, batch_size=batch_size, shuffle=True, drop_last=True, collate_fn=dekr_collate)
+
+
+@register_dataloader("coco2017_pose_dekr_val")
+def coco2017_pose_dekr_val(data_dir: str, batch_size: int = 32, image_size=(640, 640), max_poses: int = 30,
+                           num_joints: int = 17, output_stride: int = 4,
+                           json_file: str = "person_keypoints_val2017.json", subdir: str = "images/val2017",
+                           **kw) -> DataLoader:
+    from super_gradients_tpu.training.datasets import COCOPoseEstimationDataset
+    from super_gradients_tpu.training.pose_targets import DEKRTargetsGenerator
+
+    base = COCOPoseEstimationDataset(data_dir=data_dir, json_annotation_file=json_file, images_dir=subdir,
+                                     max_poses=max_poses, transforms=_pose_transforms(tuple(image_size), False))
+    ds = DEKRTargetsDataset(base, num_joints=num_joints, target_generator=DEKRTargetsGenerator(output_stride=output_stride))
+    return DataLoader(ds, batch_size=batch_size, shuffle=False, drop_last=False, collate_fn=dekr_collate)
+
+
+@register_dataloader("dekr_test_dataloader")
+def dekr_test_dataloader(batch_size: int = 4, image_size: Tuple[int, int] = (64, 64), dataset_size: int = 8,
+                         num_joints: int = 17, output_stride: int = 4, **kw) -> DataLoader:
+    ds = DEKRTargetsDataset(RandomPoseDataset(dataset_size, image_size, num_joints), num_joints=num_joints)
+    from super_gradients_tpu.training.pose_targets import DEKRTargetsGenerator
+
+    ds.target_generator = DEKRTargetsGenerator(output_stride=output_stride)
+    return DataLoader(ds, batch_size=batch_size, shuffle=True, drop_last=True, collate_fn=dekr_collate)

@@ -99,6 +99,17 @@ class DetectionDataset:
     def get_dataset_preprocessing_params(self) -> Dict:
         return {"class_names": self.classes}
 
+    def get_dataset_classes_information(self) -> np.ndarray:
+        """[N, num_classes] per-sample class counts (ref HasClassesInformation /
+        dataset_interfaces — consumed by ClassBalancedSampler)."""
+        n_cls = len(self.classes)
+        info = np.zeros((len(self._annotations), n_cls), np.int64)
+        for i, ann in enumerate(self._annotations):
+            labels = np.asarray(ann["labels"], np.int64)
+            if len(labels):
+                info[i] = np.bincount(labels, minlength=n_cls)[:n_cls]
+        return info
+
 
 @register_dataset("COCOFormatDetectionDataset")
 class COCOFormatDetectionDataset(DetectionDataset):

@@ -75,7 +75,12 @@ def build_optimizer(
     from super_gradients_tpu.common.registry import OPTIMIZERS
 
     if optimizer not in OPTIMIZERS:
-        raise KeyError(f"Unknown optimizer `{optimizer}`; registered: {sorted(OPTIMIZERS)}")
+        # case-insensitive fallback (recipes write "SGD"/"Adam"/"adam" — ref accepts all)
+        ci = {k.lower(): k for k in OPTIMIZERS}
+        if str(optimizer).lower() in ci:
+            optimizer = ci[str(optimizer).lower()]
+        else:
+            raise KeyError(f"Unknown optimizer `{optimizer}`; registered: {sorted(OPTIMIZERS)}")
     opt_params = dict(optimizer_params or {})
     # YAML 1.1 parses bare "1e-4" as a string — coerce numeric-looking values
     for k, v in opt_params.items():

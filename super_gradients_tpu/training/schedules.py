@@ -120,6 +120,16 @@ def build_lr_schedule(
     else:
         from super_gradients_tpu.common.registry import LR_SCHEDULERS
 
+        # legacy lr_mode names (ref sg_trainer deprecation shim: "cosine" etc. in
+        # pre-3.x recipes map onto the *LRScheduler registry entries)
+        _LEGACY = {
+            "cosine": "CosineLRScheduler",
+            "step": "StepLRScheduler",
+            "poly": "PolyLRScheduler",
+            "exp": "ExponentialLRScheduler",
+            "function": "FunctionLRScheduler",
+        }
+        lr_mode = _LEGACY.get(lr_mode, lr_mode)
         if lr_mode not in LR_SCHEDULERS:
             raise KeyError(f"Unknown lr_mode `{lr_mode}`; registered: {sorted(LR_SCHEDULERS)}")
         main = LR_SCHEDULERS[lr_mode](

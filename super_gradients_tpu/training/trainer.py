@@ -331,10 +331,15 @@ class Trainer:
         def put_batch(arr):
             """device_put with batch sharding; a final partial batch that does not
             divide the mesh batch axis falls back to replicated placement (exact,
-            one extra compile) instead of raising a sharding error."""
-            a = jnp.asarray(arr)
-            sh = data_sharding if a.shape[0] % mesh_batch_axis == 0 else repl_sharding
-            return jax.device_put(a, sh)
+            one extra compile) instead of raising a sharding error. Pytree-aware:
+            dense-target tasks (e.g. DEKR) ship tuples of target tensors."""
+
+            def _put(x):
+                a = jnp.asarray(x)
+                sh = data_sharding if a.shape[0] % mesh_batch_axis == 0 else repl_sharding
+                return jax.device_put(a, sh)
+
+            return jax.tree_util.tree_map(_put, arr)
 
         try:
             for epoch in range(start_epoch, max_epochs):
