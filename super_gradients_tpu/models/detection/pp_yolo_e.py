@@ -47,11 +47,12 @@ class CSPResNetBasicBlock(nn.Module):
     act: str = "silu"
     use_residual: bool = True
     use_alpha: bool = False
+    fused: str = "none"  # RepVGG deploy form (fuse_repvgg_params)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         y = ConvBNAct(out_channels=self.out_channels, kernel=3, act=self.act, name="conv1")(x, train=train)
-        y = RepVGGBlock(out_channels=self.out_channels, act=self.act, use_residual=False, name="conv2")(y, train=train)
+        y = RepVGGBlock(out_channels=self.out_channels, act=self.act, use_residual=False, fused=self.fused, name="conv2")(y, train=train)
         return x + y if self.use_residual else y
 
 
@@ -63,6 +64,7 @@ class CSPResStage(nn.Module):
     stride: int
     act: str = "silu"
     use_attention: bool = True
+    fused: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -75,7 +77,7 @@ class CSPResStage(nn.Module):
         y1 = ConvBNAct(out_channels=half, kernel=1, act=self.act, name="conv1")(x, train=train)
         y2 = ConvBNAct(out_channels=half, kernel=1, act=self.act, name="conv2")(x, train=train)
         for i in range(self.num_blocks):
-            y2 = CSPResNetBasicBlock(half, self.act, use_residual=True, name=f"blocks_{i}")(y2, train=train)
+            y2 = CSPResNetBasicBlock(half, self.act, use_residual=True, fused=self.fused, name=f"blocks_{i}")(y2, train=train)
         y = jnp.concatenate([y1, y2], axis=-1)
         if self.use_attention:
             y = EffectiveSE(name="attn")(y)
@@ -91,6 +93,7 @@ class CSPResNetBackbone(nn.Module):
     channels: Tuple[int, ...] = (64, 128, 256, 512, 1024)
     return_idx: Tuple[int, ...] = (1, 2, 3)
     act: str = "silu"
+    fused: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -102,7 +105,7 @@ class CSPResNetBackbone(nn.Module):
         x = conv(out_channels=ch[0], kernel=3, stride=1, name="stem_conv3")(x, train=train)
         outs = []
         for i, (c, n) in enumerate(zip(ch[1:], layers)):
-            x = CSPResStage(c, n, stride=2, act=self.act, name=f"stages_{i}")(x, train=train)
+            x = CSPResStage(c, n, stride=2, act=self.act, fused=self.fused, name=f"stages_{i}")(x, train=train)
             if i in self.return_idx:
                 outs.append(x)
         return outs
@@ -133,6 +136,7 @@ class CSPStage(nn.Module):
     block_num: int
     spp: bool
     act: str = "silu"
+    fused: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -140,7 +144,7 @@ class CSPStage(nn.Module):
         y1 = ConvBNAct(out_channels=mid, kernel=1, act=self.act, name="conv1")(x, train=train)
         y2 = ConvBNAct(out_channels=mid, kernel=1, act=self.act, name="conv2")(x, train=train)
         for i in range(self.block_num):
-            y2 = CSPResNetBasicBlock(mid, self.act, use_residual=False, name=f"convs_{i}")(y2, train=train)
+            y2 = CSPResNetBasicBlock(mid, self.act, use_residual=False, fused=self.fused, name=f"convs_{i}")(y2, train=train)
             if i == (self.block_num - 1) // 2 and self.spp:
                 y2 = PPYoloESPP(mid, act=self.act, name="convs_spp")(y2, train=train)
         y = jnp.concatenate([y1, y2], axis=-1)
@@ -158,6 +162,7 @@ class PPYoloECSPPAN(nn.Module):
     stage_num: int = 1
     spp: bool = True
     act: str = "silu"
+    fused: str = "none"
 
     @nn.compact
     def __call__(self, blocks, train: bool = False):
@@ -172,7 +177,7 @@ class PPYoloECSPPAN(nn.Module):
                 block = jnp.concatenate([route, block], axis=-1)
             x = block
             for j in range(self.stage_num):
-                x = CSPStage(out_ch[i], block_num, spp=(self.spp and i == 0), act=self.act, name=f"fpn_stages_{i}_{j}")(x, train=train)
+                x = CSPStage(out_ch[i], block_num, spp=(self.spp and i == 0), act=self.act, fused=self.fused, name=f"fpn_stages_{i}_{j}")(x, train=train)
             fpn_feats.append(x)
             if i < n - 1:
                 route = ConvBNAct(out_channels=out_ch[i] // 2, kernel=1, act=self.act, name=f"fpn_routes_{i}")(x, train=train)
@@ -187,7 +192,7 @@ class PPYoloECSPPAN(nn.Module):
             block = jnp.concatenate([route, block], axis=-1)
             x = block
             for j in range(self.stage_num):
-                x = CSPStage(out_ch[i], block_num, spp=False, act=self.act, name=f"pan_stages_{i}_{j}")(x, train=train)
+                x = CSPStage(out_ch[i], block_num, spp=False, act=self.act, fused=self.fused, name=f"pan_stages_{i}_{j}")(x, train=train)
             pan_feats.append(x)
             route = x
         return pan_feats[::-1]  # (s32, s16, s8)
@@ -279,8 +284,8 @@ class PPYoloE(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False) -> YoloNASOutputs:
         c = self.cfg
-        feats = CSPResNetBackbone(c.width_mult, c.depth_mult, act=c.act, name="backbone")(x, train=train)
-        pan = PPYoloECSPPAN(c.width_mult, c.depth_mult, act=c.act, name="neck")(feats, train=train)
+        feats = CSPResNetBackbone(c.width_mult, c.depth_mult, act=c.act, fused=c.fused, name="backbone")(x, train=train)
+        pan = PPYoloECSPPAN(c.width_mult, c.depth_mult, act=c.act, fused=c.fused, name="neck")(feats, train=train)
         return PPYoloEHead(c, name="head")(pan, train=train)
 
 

@@ -407,6 +407,21 @@ def fuse_all_qarepvgg(params: dict, batch_stats: dict, bn_eps: float) -> Tuple[d
     """
 
     def walk(p: dict, s: dict) -> Tuple[dict, dict]:
+        if "branch_3x3_conv" in p and "branch_1x1_conv" in p:
+            # classic RepVGG block (per-branch BNs — e.g. PPYoloE CSPResNet):
+            # residual iff the identity-BN branch exists; groups inferred from the
+            # grouped-conv kernel layout [3,3,in/groups,out] with in==out on
+            # residual placements
+            k = p["branch_3x3_conv"]["kernel"]
+            out_ch = int(k.shape[3])
+            groups = max(1, out_ch // int(k.shape[2])) if "identity_bn" in p else 1
+            cfg = RepVGGBlock(
+                out_channels=out_ch,
+                use_residual="identity_bn" in p,
+                groups=groups,
+                bn_eps=bn_eps,
+            )
+            return fuse_repvgg_params(p, s, cfg), {}
         if "branch_3x3_conv" in p:
             k = p["branch_3x3_conv"]["kernel"]
             cfg = QARepVGGBlock(
