@@ -13,6 +13,7 @@ from typing import Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from super_gradients_tpu.modules.blocks import ConvBNAct
 
@@ -132,11 +133,66 @@ class PNASNet(nn.Module):
         return nn.Dense(self.num_classes, name="linear")(x)
 
 
-class BEiTBlock(nn.Module):
-    """Transformer block with LayerScale (ref beit.py)."""
+def gen_relative_position_index(window_size) -> np.ndarray:
+    """Static [A+1, A+1] index into the relative-position-bias table
+    (ref beit.py:141-164; A = Wh*Ww patches + cls token rows/cols)."""
+    wh, ww = window_size
+    num_rel = (2 * wh - 1) * (2 * ww - 1) + 3
+    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij"))  # [2, Wh, Ww]
+    flat = coords.reshape(2, -1)
+    rel = (flat[:, :, None] - flat[:, None, :]).transpose(1, 2, 0).astype(np.int64)  # [A, A, 2]
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    area = wh * ww
+    index = np.zeros((area + 1, area + 1), np.int64)
+    index[1:, 1:] = rel.sum(-1)
+    index[0, 0:] = num_rel - 3
+    index[0:, 0] = num_rel - 2
+    index[0, 0] = num_rel - 1
+    return index
+
+
+class BEiTAttention(nn.Module):
+    """BEiT attention: shared qkv projection with q/v-only bias and windowed
+    relative-position bias added to the logits (ref beit.py:165-233 Attention)."""
 
     dim: int
     heads: int
+    window_size: tuple  # (Wh, Ww) patch grid
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, n, _ = x.shape
+        head_dim = self.dim // self.heads
+        scale = head_dim**-0.5
+        qkv_w = self.param("qkv_kernel", nn.initializers.xavier_uniform(), (self.dim, 3 * self.dim))
+        q_bias = self.param("q_bias", nn.initializers.zeros, (self.dim,))
+        v_bias = self.param("v_bias", nn.initializers.zeros, (self.dim,))
+        qkv_bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])  # k has no bias
+        qkv = x @ qkv_w + qkv_bias
+        qkv = qkv.reshape(b, n, 3, self.heads, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0] * scale, qkv[1], qkv[2]
+        attn = q @ k.transpose(0, 1, 3, 2)  # [B, H, N, N]
+
+        wh, ww = self.window_size
+        num_rel = (2 * wh - 1) * (2 * ww - 1) + 3
+        table = self.param("relative_position_bias_table", nn.initializers.zeros, (num_rel, self.heads))
+        index = jnp.asarray(gen_relative_position_index(self.window_size))  # [A+1, A+1] static
+        bias = table[index.reshape(-1)].reshape(n, n, self.heads).transpose(2, 0, 1)
+        attn = attn + bias[None]
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = (attn @ v).transpose(0, 2, 1, 3).reshape(b, n, self.dim)
+        return nn.Dense(self.dim, name="proj")(out)
+
+
+class BEiTBlock(nn.Module):
+    """Transformer block with LayerScale + rel-pos attention (ref beit.py Block)."""
+
+    dim: int
+    heads: int
+    window_size: tuple
     mlp_ratio: float = 4.0
     init_scale: float = 0.1
 
@@ -145,7 +201,7 @@ class BEiTBlock(nn.Module):
         g1 = self.param("gamma_1", nn.initializers.constant(self.init_scale), (self.dim,))
         g2 = self.param("gamma_2", nn.initializers.constant(self.init_scale), (self.dim,))
         h = nn.LayerNorm(name="norm1")(x)
-        h = nn.MultiHeadDotProductAttention(num_heads=self.heads, qkv_features=self.dim, deterministic=not train, name="attn")(h, h)
+        h = BEiTAttention(self.dim, self.heads, self.window_size, name="attn")(h, train=train)
         x = x + g1 * h
         h = nn.LayerNorm(name="norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(h)
@@ -167,12 +223,13 @@ class BEiT(nn.Module):
     def __call__(self, x, train: bool = False):
         b = x.shape[0]
         p = self.patch_size
+        wh, ww = x.shape[1] // p, x.shape[2] // p
         x = nn.Conv(self.dim, (p, p), strides=(p, p), name="patch_embed")(x)
         x = x.reshape(b, -1, self.dim)
         cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.dim))
         x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.dim)), x], axis=1)
         for i in range(self.depth):
-            x = BEiTBlock(self.dim, self.heads, name=f"block_{i}")(x, train=train)
+            x = BEiTBlock(self.dim, self.heads, (wh, ww), name=f"block_{i}")(x, train=train)
         x = nn.LayerNorm(name="norm")(x)
         pooled = jnp.mean(x[:, 1:], axis=1)  # BEiT uses mean pooling over patches
         return nn.Dense(self.num_classes, name="head")(pooled)
