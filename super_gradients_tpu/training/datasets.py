@@ -49,12 +49,15 @@ class DetectionDataset:
         class_inclusion_list: Optional[Sequence[str]] = None,
         ignore_empty_annotations: bool = False,
         all_classes_list: Optional[Sequence[str]] = None,
+        cache_images: bool = False,
     ):
         self.transforms = ComposeDetectionTransforms(transforms or [])
         self.max_boxes = max_boxes
         self.all_classes_list = list(all_classes_list or [])
         self.class_inclusion_list = list(class_inclusion_list) if class_inclusion_list else None
         self.ignore_empty_annotations = ignore_empty_annotations
+        self.cache_images = cache_images
+        self._image_cache: Dict[int, np.ndarray] = {}
         self._annotations: List[Dict] = []
         self._setup()
         if self.class_inclusion_list:
@@ -80,7 +83,18 @@ class DetectionDataset:
 
     def _get_sample(self, index: int) -> DetectionSample:
         ann = self._annotations[index]
-        image = _load_image(ann["img_path"]) if "img_path" in ann else ann["image"]
+        if "img_path" in ann:
+            # RAM cache (ref detection_dataset.py cache_images/cached_imgs_padded):
+            # decode once, reuse across epochs — IO/jpeg-decode is the host-side
+            # bottleneck feeding the TPU input pipeline
+            if self.cache_images:
+                if index not in self._image_cache:
+                    self._image_cache[index] = _load_image(ann["img_path"])
+                image = self._image_cache[index]
+            else:
+                image = _load_image(ann["img_path"])
+        else:
+            image = ann["image"]
         return DetectionSample(image, ann["boxes_xyxy"].astype(np.float32), ann["labels"].astype(np.int32))
 
     def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -98,6 +112,52 @@ class DetectionDataset:
 
     def get_dataset_preprocessing_params(self) -> Dict:
         return {"class_names": self.classes}
+
+    def plot(self, max_samples_per_plot: int = 16, plot_transformed_data: bool = True):
+        """Render a grid of (transformed) samples with their gt boxes and return it
+        as an RGB array; shows it when matplotlib has an interactive backend
+        (ref detection_dataset.py ``plot()``)."""
+        from PIL import Image, ImageDraw
+
+        n = min(len(self), max_samples_per_plot)
+        drawn = []
+        for i in range(n):
+            if plot_transformed_data:
+                image, target = self[i]
+                boxes = target[target[:, 0] >= 0][:, 1:5]
+            else:
+                s = self._get_sample(i)
+                image, boxes = s.image, s.bboxes_xyxy
+            arr = np.asarray(image)
+            if arr.dtype != np.uint8:
+                arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+            im = Image.fromarray(arr)
+            d = ImageDraw.Draw(im)
+            for b in np.asarray(boxes):
+                d.rectangle([float(b[0]), float(b[1]), float(b[2]), float(b[3])], outline=(255, 0, 0), width=2)
+            drawn.append(np.asarray(im))
+        if not drawn:
+            return None
+        cols = int(np.ceil(np.sqrt(n)))
+        rows = int(np.ceil(n / cols))
+        h, w, c = drawn[0].shape
+        grid = np.zeros((rows * h, cols * w, c), np.uint8)
+        for i, im in enumerate(drawn):
+            r, cc = divmod(i, cols)
+            grid[r * h : (r + 1) * h, cc * w : (cc + 1) * w] = im
+        try:
+            import matplotlib
+
+            if matplotlib.get_backend().lower() not in ("agg", "template"):
+                import matplotlib.pyplot as plt
+
+                plt.figure(figsize=(10, 10))
+                plt.imshow(grid)
+                plt.axis("off")
+                plt.show()
+        except ImportError:
+            pass
+        return grid
 
     def get_dataset_classes_information(self) -> np.ndarray:
         """[N, num_classes] per-sample class counts (ref HasClassesInformation /

@@ -184,17 +184,28 @@ def best_score_threshold(
 ) -> Tuple[float, float]:
     """Score threshold maximizing mean-class F1 at the first IoU threshold
     (ref detection_metrics.py:88 best_score_threshold). Returns (threshold, best_f1)."""
+    thr, f1, _ = best_score_thresholds(tp, conf, pred_cls, n_gt_per_class, keep)
+    return thr, f1
+
+
+def best_score_thresholds(
+    tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray, n_gt_per_class: np.ndarray, keep: Optional[np.ndarray] = None
+) -> Tuple[float, float, dict]:
+    """Global AND per-class best-F1 score thresholds (ref detection_metrics.py:88 +
+    scripts/find_detection_score_threshold.py). Returns
+    (global_threshold, global_best_f1, {class_id: per_class_threshold})."""
     if len(conf) == 0:
-        return 0.0, 0.0
+        return 0.0, 0.0, {}
     if keep is None:
         keep = np.ones_like(tp, dtype=bool)
     grid = np.linspace(0, 1, 101)
     order = np.argsort(-conf)
     tp0, conf_s, cls_s, keep0 = tp[order, 0], conf[order], pred_cls[order], keep[order, 0]
     f1s = np.zeros((len(grid),))
+    per_class: dict = {}
     classes = [c for c in range(len(n_gt_per_class)) if n_gt_per_class[c] > 0]
     if not classes:
-        return 0.0, 0.0
+        return 0.0, 0.0, {}
     for c in classes:
         mk = (cls_s == c) & keep0
         tpc = tp0[mk].cumsum()
@@ -207,10 +218,12 @@ def best_score_threshold(
         tp_at = np.where(counts > 0, tpc[np.maximum(counts - 1, 0)], 0.0)
         prec = np.where(counts > 0, tp_at / np.maximum(counts, 1), 0.0)
         rec = tp_at / (n_gt + 1e-16)
-        f1s += 2 * prec * rec / (prec + rec + 1e-16)
+        f1c = 2 * prec * rec / (prec + rec + 1e-16)
+        per_class[int(c)] = float(grid[int(np.argmax(f1c))])
+        f1s += f1c
     f1s /= len(classes)
     bi = int(np.argmax(f1s))
-    return float(grid[bi]), float(f1s[bi])
+    return float(grid[bi]), float(f1s[bi]), per_class
 
 
 @register_metric("DetectionMetrics")
@@ -359,8 +372,12 @@ class DetectionMetrics(Metric):
         if len(self.iou_thresholds) > 1:
             out[f"mAP@{self.iou_thresholds[0]:.2f}"] = float(ap[has_gt, 0].mean())
         if self.calc_best_score_thresholds:
-            thr, bf1 = best_score_threshold(tp, conf, cls, state["n_gt"], keep)
+            thr, bf1, per_cls = best_score_thresholds(tp, conf, cls, state["n_gt"], keep)
             out["Best_score_threshold"] = thr
+            if self.include_classwise_ap:
+                for c, t in per_cls.items():
+                    name = self.class_names[c] if self.class_names and c < len(self.class_names) else str(c)
+                    out[f"Best_score_threshold_{name}"] = t
         if self.include_classwise_ap:
             for c in np.nonzero(has_gt)[0]:
                 name = self.class_names[c] if self.class_names and c < len(self.class_names) else str(c)

@@ -649,6 +649,9 @@ class Trainer:
                 mstates = metrics.update_host(mstates, jax.device_get(host_aux), np.asarray(batch[1]))
             loss_sum += float(loss)
             count += 1
+        if count == 0:
+            logger.warning("evaluate(): data loader yielded 0 batches (dataset smaller than "
+                           "batch_size with drop_last?) — metrics are empty")
         results = metrics.compute(mstates)
         if criterion is not None:
             results["Loss"] = loss_sum / max(count, 1)

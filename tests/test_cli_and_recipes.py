@@ -72,7 +72,15 @@ def test_system_monitor_samples():
 
     mon = SystemMonitor(Sink())
     stats = mon.sample()
-    assert "System/cpu_percent" in stats and "System/ram_percent" in stats
+    # reference stat names (monitoring.py:29-46 StatAggregator list)
+    assert "System/cpu.usage_percent" in stats and "System/memory.usage_percent" in stats
+    # aggregated write loop: write() pushes scalars into the logger
+    mon.sample()
+    mon._write()
+    # singleton start/stop
+    m2 = SystemMonitor.start_if_doesnt_exist(Sink())
+    assert SystemMonitor.start_if_doesnt_exist(Sink()) is m2
+    m2.stop()
 
 
 def test_all_shipped_recipes_compose_and_build():
