@@ -1092,13 +1092,19 @@ def kd_module(num_classes=None, arch_params=None, **kw):
     from super_gradients_tpu.common.registry import ARCHITECTURES
     from super_gradients_tpu.training.losses.kd_losses import KDModule
 
-    ap = arch_params or {}
-    if "student" not in ap or "teacher" not in ap:
-        raise ValueError("kd_module requires arch_params with `student` and `teacher`")
+    ap = dict(arch_params or {})
+    # reference recipes spell these student_architecture/teacher_architecture
+    # (imagenet_resnet50_kd.yaml:83-84) — accept both namings
+    ap.setdefault("student", ap.get("student_architecture"))
+    ap.setdefault("teacher", ap.get("teacher_architecture"))
+    if not ap.get("student") or not ap.get("teacher"):
+        raise ValueError("kd_module requires arch_params with `student`/`teacher` "
+                         "(or student_architecture/teacher_architecture)")
 
     def resolve(entry):
         if isinstance(entry, str):
-            return ARCHITECTURES[entry](num_classes=num_classes, arch_params=ap.get(f"{entry}_arch_params")).module
+            params = ap.get(f"{entry}_arch_params") or ap.get("student_arch_params" if entry == ap["student"] else "teacher_arch_params")
+            return ARCHITECTURES[entry](num_classes=num_classes, arch_params=params).module
         return entry
 
     student, teacher = resolve(ap["student"]), resolve(ap["teacher"])

@@ -327,6 +327,73 @@ def cifar10_val(root: str = "/data/cifar10", batch_size: int = 512, **kw) -> Dat
     return DataLoader(CIFAR10Dataset(root, train=False), batch_size=batch_size, shuffle=False, drop_last=False)
 
 
+# ----------------------------------------------------------------- MNIST loaders
+# (ref user_recipe_mnist_example.yaml — stdlib idx-file parser, no torchvision)
+
+
+class MNISTDataset:
+    """MNIST idx files (train-images-idx3-ubyte[.gz] etc.) → (image [28,28,1] 0-1, label)."""
+
+    def __init__(self, root: str, train: bool = True):
+        import gzip
+        import os as _os
+
+        prefix = "train" if train else "t10k"
+
+        def read_idx(name):
+            for suffix in ("", ".gz"):
+                p = _os.path.join(root, name + suffix)
+                if _os.path.exists(p):
+                    opener = gzip.open if suffix else open
+                    with opener(p, "rb") as f:
+                        data = f.read()
+                    ndim = data[3]
+                    dims = [int.from_bytes(data[4 + 4 * i : 8 + 4 * i], "big") for i in range(ndim)]
+                    return np.frombuffer(data, np.uint8, offset=4 + 4 * ndim).reshape(dims)
+            raise FileNotFoundError(f"MNIST file {name}[.gz] not found under {root}")
+
+        self.images = read_idx(f"{prefix}-images-idx3-ubyte")
+        self.labels = read_idx(f"{prefix}-labels-idx1-ubyte")
+
+    def __len__(self):
+        return len(self.labels)
+
+    def __getitem__(self, i):
+        return self.images[i][..., None].astype(np.float32) / 255.0, int(self.labels[i])
+
+
+@register_dataloader("mnist_train")
+def mnist_train(root: str = "/data/mnist", batch_size: int = 256, **kw) -> DataLoader:
+    return DataLoader(MNISTDataset(root, train=True), batch_size=batch_size, shuffle=True, drop_last=True)
+
+
+@register_dataloader("mnist_val")
+def mnist_val(root: str = "/data/mnist", batch_size: int = 512, **kw) -> DataLoader:
+    return DataLoader(MNISTDataset(root, train=False), batch_size=batch_size, shuffle=False, drop_last=False)
+
+
+# -------------------------------------------------------------- Roboflow loaders
+# (ref dataloaders.py roboflow_train_yolox/roboflow_val_yolox — RF100 datasets)
+
+
+@register_dataloader("roboflow_train")
+def roboflow_train(data_dir: str, dataset_name: str, batch_size: int = 16, image_size=(640, 640), **kw) -> DataLoader:
+    from super_gradients_tpu.training.datasets_roboflow import RoboflowDetectionDataset
+
+    ds = RoboflowDetectionDataset(data_dir=data_dir, dataset_name=dataset_name, split="train",
+                                  transforms=_yolo_nas_train_transforms(tuple(image_size)))
+    return DataLoader(ds, batch_size=batch_size, shuffle=True, drop_last=True)
+
+
+@register_dataloader("roboflow_val")
+def roboflow_val(data_dir: str, dataset_name: str, batch_size: int = 32, image_size=(640, 640), **kw) -> DataLoader:
+    from super_gradients_tpu.training.datasets_roboflow import RoboflowDetectionDataset
+
+    ds = RoboflowDetectionDataset(data_dir=data_dir, dataset_name=dataset_name, split="valid",
+                                  transforms=_yolo_nas_val_transforms(tuple(image_size)))
+    return DataLoader(ds, batch_size=batch_size, shuffle=False, drop_last=False)
+
+
 @register_dataloader("cifar100_train")
 def cifar100_train(root: str = "/data/cifar100", batch_size: int = 256, **kw) -> DataLoader:
     from super_gradients_tpu.training.datasets import CIFAR100Dataset
@@ -660,3 +727,7 @@ def dekr_test_dataloader(batch_size: int = 4, image_size: Tuple[int, int] = (64,
 
     ds.target_generator = DEKRTargetsGenerator(output_stride=output_stride)
     return DataLoader(ds, batch_size=batch_size, shuffle=True, drop_last=True, collate_fn=dekr_collate)
+
+
+# register rescoring loaders (module imports DataLoader from here, so import last)
+from super_gradients_tpu.training import datasets_rescoring  # noqa: E402,F401

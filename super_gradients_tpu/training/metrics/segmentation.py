@@ -69,6 +69,36 @@ class Dice(_ConfusionMatrixMetric):
         return {self.name: float(dice[present].mean()) if present.any() else 0.0}
 
 
+class _BinaryPredMixin:
+    """Binary (1-channel sigmoid) prediction decode (ref segmentation_metrics.py
+    BinaryIOU/BinaryDice: threshold 0.5 on the sigmoid of the single logit)."""
+
+    def update(self, state, outputs, targets):
+        logits = outputs[0] if isinstance(outputs, (tuple, list)) else outputs
+        if logits.shape[-1] == 1:
+            preds = (jax.nn.sigmoid(logits[..., 0]) > 0.5).astype(jnp.int32)
+        else:
+            preds = jnp.argmax(logits, axis=-1)
+        return state + _confusion_matrix(preds, targets.astype(jnp.int32), self.num_classes, self.ignore_index)
+
+
+@register_metric("BinaryIOU")
+@register_metric("BinaryIoU")
+class BinaryIoU(_BinaryPredMixin, IoU):
+    name = "BinaryIoU"
+
+    def __init__(self, ignore_index: int = 255, **kw):
+        super().__init__(num_classes=2, ignore_index=ignore_index)
+
+
+@register_metric("BinaryDice")
+class BinaryDice(_BinaryPredMixin, Dice):
+    name = "BinaryDice"
+
+    def __init__(self, ignore_index: int = 255, **kw):
+        super().__init__(num_classes=2, ignore_index=ignore_index)
+
+
 @register_metric("PixelAccuracy")
 class PixelAccuracy(_ConfusionMatrixMetric):
     name = "PixelAccuracy"
