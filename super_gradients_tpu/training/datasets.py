@@ -111,7 +111,32 @@ class DetectionDataset:
         return image, target
 
     def get_dataset_preprocessing_params(self) -> Dict:
-        return {"class_names": self.classes}
+        """Predict-ready params derived from the dataset's eval geometry
+        (ref detection_dataset.get_dataset_preprocessing_params — builds the
+        image_processor that matches the val transform chain)."""
+        params: Dict = {"class_names": self.classes}
+        # map the transform chain's letterbox geometry onto processing ops
+        input_dim = None
+        for t in getattr(self.transforms, "transforms", []):
+            dim = getattr(t, "input_dim", None)
+            if dim is not None:
+                input_dim = tuple(dim)
+        if input_dim is not None:
+            from super_gradients_tpu.inference.processing import (
+                ComposeProcessing,
+                DetectionBottomRightPadding,
+                DetectionLongestMaxSizeRescale,
+                StandardizeImage,
+            )
+
+            params["image_processor"] = ComposeProcessing(
+                [
+                    DetectionLongestMaxSizeRescale(input_dim),
+                    DetectionBottomRightPadding(input_dim, 114),
+                    StandardizeImage(255.0),
+                ]
+            )
+        return params
 
     def plot(self, max_samples_per_plot: int = 16, plot_transformed_data: bool = True):
         """Render a grid of (transformed) samples with their gt boxes and return it

@@ -79,6 +79,20 @@ class Trainer:
         tp.update(training_params or {})
         self.training_params = tp
 
+        # dataset → model processing-params handoff (ref sg_trainer
+        # _maybe_set_preprocessing_params): trained checkpoints predict with the
+        # dataset's class names / preprocessing without manual wiring
+        ds = getattr(train_loader, "dataset", None)
+        if (
+            hasattr(model, "set_dataset_processing_params")
+            and ds is not None
+            and hasattr(ds, "get_dataset_preprocessing_params")
+        ):
+            try:
+                model.set_dataset_processing_params(**ds.get_dataset_preprocessing_params())
+            except Exception as e:  # never block training on predict-convenience wiring
+                logger.debug(f"preprocessing-params handoff skipped: {e}")
+
         mesh = get_mesh()
         max_epochs = int(tp["max_epochs"])
         steps_per_epoch = len(train_loader)

@@ -14,7 +14,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_backend_optimization_level" not in flags:
+    # tests are compile-bound, not compute-bound: O0 cuts cold-cache compile time
+    # ~30% with no effect on the golden-parity tolerances (validated full-suite)
+    flags = (flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 

@@ -69,3 +69,32 @@ def test_checkpoint_num_classes_path(tmp_path):
     for k, v in _flat(m2.params):
         if np.asarray(v).shape == np.asarray(p_src[k]).shape and "linear" not in k.lower() and "dense" not in k.lower() and "fc" not in k.lower():
             np.testing.assert_array_equal(np.asarray(v), np.asarray(p_src[k]), err_msg=k)
+
+
+def test_trainer_sets_dataset_processing_params(tmp_path):
+    """ref sg_trainer._maybe_set_preprocessing_params: after train(), the model
+    carries the dataset's class names (predict-ready without manual wiring)."""
+    from super_gradients_tpu.training.dataloaders import DataLoader
+    from super_gradients_tpu.training.trainer import Trainer
+
+    class _DS:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return np.zeros((32, 32, 3), np.float32), i % 3
+
+        def get_dataset_preprocessing_params(self):
+            return {"class_names": ["a", "b", "c"]}
+
+    m = models.get("resnet18_cifar", num_classes=3)
+    tr = Trainer("handoff", ckpt_root_dir=str(tmp_path))
+    tr.train(
+        model=m,
+        training_params={"max_epochs": 1, "initial_lr": 1e-3, "loss": "CrossEntropyLoss",
+                         "optimizer": "SGD", "metric_to_watch": "train_loss",
+                         "greater_metric_to_watch_is_better": False, "ema": False,
+                         "average_best_models": False},
+        train_loader=DataLoader(_DS(), batch_size=8),
+    )
+    assert m.class_names == ["a", "b", "c"]
