@@ -64,14 +64,55 @@ def _with_decay(tx, learning_rate, weight_decay, mask, decoupled=False, **_):
     return optax.chain(wd, tx)
 
 
+def lr_group_multipliers(params, lr_dict: Dict[str, float]):
+    """Per-leaf LR multiplier tree from a ``{param-path-prefix: lr, "default": lr}``
+    mapping (ref optimizer_utils.py:145-194 ``separate_lr_groups`` /
+    ``initialize_param_groups`` — the reference's per-group LRs become per-leaf
+    update scales here; ``lr == 0`` freezes the group). Multipliers are relative to
+    ``lr_dict["default"]``, which drives the shared schedule."""
+    import jax
+
+    if "default" not in lr_dict:
+        raise RuntimeError("When passing initial_lr as a dictionary, must pass 'default'.")
+    default = float(lr_dict["default"])
+    groups = {k: float(v) for k, v in lr_dict.items() if k != "default"}
+    if default == 0 and any(v for v in groups.values()):
+        raise RuntimeError("initial_lr['default'] must be non-zero when other groups train")
+
+    def mult_for(path) -> float:
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        best = None
+        for prefix, lr in groups.items():
+            if (name.startswith(prefix) or ("/" + prefix) in name) and (best is None or len(prefix) > best[0]):
+                best = (len(prefix), lr)
+        lr = best[1] if best is not None else default
+        return lr / default if default else 0.0
+
+    return jax.tree_util.tree_map_with_path(lambda p, _: mult_for(p), params)
+
+
+def _scale_by_group_multipliers(multipliers) -> optax.GradientTransformation:
+    import jax
+
+    def update(updates, state, params=None):
+        return jax.tree_util.tree_map(lambda u, m: u * m, updates, multipliers), state
+
+    return optax.GradientTransformation(lambda _: optax.EmptyState(), update)
+
+
 def build_optimizer(
     optimizer: str,
     params,
     lr_schedule: Callable,
     optimizer_params: Optional[Dict] = None,
     zero_weight_decay_on_bias_and_bn: bool = False,
+    lr_group_dict: Optional[Dict[str, float]] = None,
 ) -> optax.GradientTransformation:
-    """Build an optax optimizer (ref ``build_optimizer``, optimizer_utils.py:88)."""
+    """Build an optax optimizer (ref ``build_optimizer``, optimizer_utils.py:88).
+
+    ``lr_group_dict``: per-group LRs keyed by param-path prefix (+ "default") — the
+    reference's dict-``initial_lr`` fine-tuning API; applied as per-leaf update
+    scales chained after the optimizer."""
     from super_gradients_tpu.common.registry import OPTIMIZERS
 
     if optimizer not in OPTIMIZERS:
@@ -90,4 +131,7 @@ def build_optimizer(
             except ValueError:
                 pass
     mask = _wd_mask(params) if zero_weight_decay_on_bias_and_bn else None
-    return OPTIMIZERS[optimizer](learning_rate=lr_schedule, zero_wd_mask=mask, **opt_params)
+    tx = OPTIMIZERS[optimizer](learning_rate=lr_schedule, zero_wd_mask=mask, **opt_params)
+    if lr_group_dict:
+        tx = optax.chain(tx, _scale_by_group_multipliers(lr_group_multipliers(params, lr_group_dict)))
+    return tx

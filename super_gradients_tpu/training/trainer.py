@@ -101,9 +101,23 @@ class Trainer:
 
         # ---- loss / schedule / optimizer -------------------------------
         criterion = get_loss(tp.get("loss"), tp.get("criterion_params"))
+        # dict initial_lr = per-group fine-tune LRs (ref optimizer_utils.py:145-194
+        # separate_lr_groups; initial_lr={'backbone': 1e-5, 'default': 1e-3});
+        # finetune=True asks the model for its predefined mapping (SupportsFineTune)
+        initial_lr = tp["initial_lr"]
+        lr_group_dict = None
+        if tp.get("finetune"):
+            if hasattr(model, "get_finetune_lr_dict"):
+                initial_lr = model.get_finetune_lr_dict(float(initial_lr))
+                logger.info(f"finetune=True: initial_lr set to predefined mapping {initial_lr}")
+            else:
+                logger.warning("finetune=True has no effect: model does not implement get_finetune_lr_dict")
+        if isinstance(initial_lr, dict):
+            lr_group_dict = {k: float(v) for k, v in initial_lr.items()}
+            initial_lr = lr_group_dict["default"] if "default" in lr_group_dict else next(iter(lr_group_dict.values()))
         lr_schedule = build_lr_schedule(
             lr_mode=tp.get("lr_mode"),
-            initial_lr=float(tp["initial_lr"]),
+            initial_lr=float(initial_lr),
             max_epochs=max_epochs,
             steps_per_epoch=max(1, steps_per_epoch // batch_accumulate),
             lr_warmup_epochs=int(tp.get("lr_warmup_epochs") or 0),
@@ -122,6 +136,7 @@ class Trainer:
             lr_schedule=lr_schedule,
             optimizer_params=tp.get("optimizer_params"),
             zero_weight_decay_on_bias_and_bn=bool(tp.get("zero_weight_decay_on_bias_and_bn")),
+            lr_group_dict=lr_group_dict,
         )
         if tp.get("clip_grad_norm"):
             tx = optax.chain(optax.clip_by_global_norm(float(tp["clip_grad_norm"])), tx)

@@ -2,6 +2,7 @@
 head_replacement_utils.py, sg_module.py replace_head)."""
 
 import jax
+import pytest
 import numpy as np
 
 from super_gradients_tpu import models
@@ -98,3 +99,48 @@ def test_trainer_sets_dataset_processing_params(tmp_path):
         train_loader=DataLoader(_DS(), batch_size=8),
     )
     assert m.class_names == ["a", "b", "c"]
+
+
+def test_dict_initial_lr_per_group_and_freeze(tmp_path):
+    """initial_lr={'prefix': lr, 'default': lr} applies per-group LRs; lr=0 freezes
+    (ref optimizer_utils.py:145-194 separate_lr_groups)."""
+    from super_gradients_tpu.training.dataloaders import DataLoader, RandomClassificationDataset
+    from super_gradients_tpu.training.trainer import Trainer
+
+    m = models.get("resnet18_cifar", num_classes=4, seed=0)
+    before = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), m.params)
+    first_block = sorted(before.keys())[0]  # a real top-level param group name
+
+    tr = Trainer("grouplr", ckpt_root_dir=str(tmp_path))
+    tr.train(
+        model=m,
+        training_params={
+            "max_epochs": 1, "initial_lr": {first_block: 0.0, "default": 1e-2},
+            "loss": "CrossEntropyLoss", "optimizer": "SGD",
+            "metric_to_watch": "train_loss", "greater_metric_to_watch_is_better": False,
+            "ema": False, "average_best_models": False,
+        },
+        train_loader=DataLoader(RandomClassificationDataset(num_samples=8, image_size=(32, 32), num_classes=4), batch_size=8),
+    )
+    after = m.params
+    # frozen group bit-identical
+    for k, v in _flat({first_block: after[first_block]}):
+        np.testing.assert_array_equal(np.asarray(v), dict(_flat({first_block: before[first_block]}))[k], err_msg=k)
+    # some other group actually moved
+    moved = any(
+        not np.array_equal(np.asarray(v), dict(_flat(before))[k])
+        for k, v in _flat(after)
+        if not k.startswith(first_block)
+    )
+    assert moved
+
+
+def test_lr_group_multipliers_tree():
+    from super_gradients_tpu.training.optimizers import lr_group_multipliers
+
+    params = {"backbone": {"conv": {"kernel": np.zeros(3)}}, "head": {"dense": {"kernel": np.zeros(3)}}}
+    mult = lr_group_multipliers(params, {"backbone": 1e-4, "default": 1e-3})
+    assert mult["backbone"]["conv"]["kernel"] == pytest.approx(0.1)
+    assert mult["head"]["dense"]["kernel"] == pytest.approx(1.0)
+    with pytest.raises(RuntimeError):
+        lr_group_multipliers(params, {"backbone": 1e-4})
