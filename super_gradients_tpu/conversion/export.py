@@ -39,6 +39,19 @@ class ExportResult:
         return self.usage_instructions
 
 
+
+def _photometric_fn(model, preprocessing: bool):
+    """In-graph preprocessing for the exported artifact: the model's attached
+    processing pipeline's photometric steps (ref exportable_detector preprocessing
+    module built from get_equivalent_photometric_module, processing.py:87);
+    falls back to /255 standardization."""
+    if not preprocessing:
+        return None
+    proc = model.get_processing_params() if hasattr(model, "get_processing_params") else None
+    fn = proc.get_equivalent_photometric_fn() if proc is not None and hasattr(proc, "get_equivalent_photometric_fn") else None
+    return fn if fn is not None else (lambda x: x / 255.0)
+
+
 def export_detection_model(
     model,
     output_path: str,
@@ -70,11 +83,12 @@ def export_detection_model(
     image_hw = image_hw or model._input_hw
     module, variables = model._infer_module_and_vars(fuse_model, bf16)
     in_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    photometric = _photometric_fn(model, preprocessing)
 
     def program(images):
         x = images.astype(in_dtype)
-        if preprocessing:
-            x = x / 255.0
+        if photometric is not None:
+            x = photometric(x).astype(in_dtype)
         out = module.apply(variables, x, train=False)
         return batched_nms(
             out.pred_bboxes.astype(jnp.float32),
@@ -142,11 +156,12 @@ def export_pose_estimation_model(
         )
     module = model.module
     in_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    photometric = _photometric_fn(model, preprocessing)
 
     def program(images):
         x = images.astype(in_dtype)
-        if preprocessing:
-            x = x / 255.0
+        if photometric is not None:
+            x = photometric(x).astype(in_dtype)
         out = module.apply(variables, x, train=False)
         return batched_pose_nms(
             out.pred_bboxes.astype(jnp.float32),
@@ -202,11 +217,12 @@ def export_segmentation_model(
     module = model.module
     in_dtype = jnp.bfloat16 if bf16 else jnp.float32
     binary = model.num_classes == 1
+    photometric = _photometric_fn(model, preprocessing)
 
     def program(images):
         x = images.astype(in_dtype)
-        if preprocessing:
-            x = x / 255.0
+        if photometric is not None:
+            x = photometric(x).astype(in_dtype)
         logits = module.apply(variables, x, train=False)
         if isinstance(logits, (tuple, list)):
             logits = logits[0]  # aux heads: first tensor is the class prediction

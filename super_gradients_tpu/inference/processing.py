@@ -54,6 +54,12 @@ class Processing:
     def infer_image_input_shape(self) -> Optional[Tuple[int, int]]:
         return None
 
+    def get_equivalent_photometric_fn(self):
+        """jnp-traceable equivalent of this op's PHOTOMETRIC effect, or None for
+        geometric ops (ref processing.py:87 get_equivalent_photometric_module —
+        used to bake standardize/normalize/BGR into the exported graph)."""
+        return None
+
 
 def _resize_bilinear(image: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
     """Host bilinear resize via PIL (no cv2 in this environment)."""
@@ -382,6 +388,10 @@ class StandardizeImage(Processing):
     def preprocess_image(self, image):
         return image.astype(np.float32) / self.max_value, ProcessingMetadata(original_hw=image.shape[:2])
 
+    def get_equivalent_photometric_fn(self):
+        max_value = self.max_value
+        return lambda x: x / max_value
+
 
 @register_processing("NormalizeImage")
 class NormalizeImage(Processing):
@@ -392,11 +402,18 @@ class NormalizeImage(Processing):
     def preprocess_image(self, image):
         return (image.astype(np.float32) - self.mean) / self.std, ProcessingMetadata(original_hw=image.shape[:2])
 
+    def get_equivalent_photometric_fn(self):
+        mean, std = self.mean.copy(), self.std.copy()
+        return lambda x: (x - mean) / std
+
 
 @register_processing("ReverseImageChannels")
 class ReverseImageChannels(Processing):
     def preprocess_image(self, image):
         return image[..., ::-1], ProcessingMetadata(original_hw=image.shape[:2])
+
+    def get_equivalent_photometric_fn(self):
+        return lambda x: x[..., ::-1]
 
 
 @register_processing("ComposeProcessing")
@@ -442,6 +459,21 @@ class ComposeProcessing(Processing):
             if s is not None:
                 shape = s
         return shape
+
+    def get_equivalent_photometric_fn(self):
+        """Compose the photometric members in order (geometric ops contribute
+        identity) — the in-graph preprocessing for exported artifacts
+        (ref processing.py:87)."""
+        fns = [f for f in (p.get_equivalent_photometric_fn() for p in self.processings) if f is not None]
+        if not fns:
+            return None
+
+        def composed(x):
+            for f in fns:
+                x = f(x)
+            return x
+
+        return composed
 
 
 def default_yolo_nas_coco_processing(image_size: int = 640) -> ComposeProcessing:

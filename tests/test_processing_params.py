@@ -112,3 +112,38 @@ def test_seg75_scale():
 
 def test_unknown_returns_empty():
     assert get_pretrained_processing_params("resnet50", "coco") == {}
+
+
+def test_photometric_equivalent_fn_matches_host_pipeline():
+    """get_equivalent_photometric_fn (ref processing.py:87) — the composed in-graph
+    preprocessing equals the host pipeline's photometric effect."""
+    import jax.numpy as jnp
+
+    from super_gradients_tpu.inference.processing import (
+        NormalizeImage,
+        ReverseImageChannels,
+        StandardizeImage,
+    )
+
+    pipe = ComposeProcessing(
+        [
+            ReverseImageChannels(),
+            DetectionRescale((32, 32)),  # geometric: identity in the photometric fn
+            NormalizeImage(mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375]),
+            StandardizeImage(255.0),
+        ]
+    )
+    fn = pipe.get_equivalent_photometric_fn()
+    assert fn is not None
+    img = np.random.RandomState(0).randint(0, 255, (32, 32, 3)).astype(np.float32)
+    # host path without the geometric op
+    host = img[..., ::-1]
+    host = (host - np.array([123.675, 116.28, 103.53], np.float32)) / np.array([58.395, 57.12, 57.375], np.float32)
+    host = host / 255.0
+    got = np.asarray(fn(jnp.asarray(img)))
+    np.testing.assert_allclose(got, host, rtol=1e-5, atol=1e-5)
+
+
+def test_geometric_only_pipeline_has_no_photometric_fn():
+    pipe = ComposeProcessing([DetectionLongestMaxSizeRescale((64, 64)), DetectionCenterPadding((64, 64))])
+    assert pipe.get_equivalent_photometric_fn() is None
