@@ -152,3 +152,17 @@ def test_cifar10_recipe_uses_real_cifar_dataset(tmp_path):
     t.train(model, dict(max_epochs=1, initial_lr=0.01, loss="CrossEntropyLoss",
                         valid_metrics_list=["Accuracy"], metric_to_watch="Accuracy", save_model=False), train, val)
     assert t.train_loss_history
+
+
+def test_kd_module_reference_naming():
+    """architecture kd_module accepts student_architecture/teacher_architecture
+    (ref imagenet_resnet50_kd.yaml:82-84)."""
+    import numpy as np
+
+    from super_gradients_tpu import models
+
+    m = models.get("kd_module", num_classes=7,
+                   arch_params={"student_architecture": "resnet18_cifar", "teacher_architecture": "resnet18_cifar"})
+    out = m.module.apply(m.variables, np.zeros((1, 32, 32, 3), np.float32), train=False)
+    assert out.student_output.shape == (1, 7)
+    assert out.teacher_output.shape == (1, 7)
