@@ -464,7 +464,13 @@ class ComposeProcessing(Processing):
         """Compose the photometric members in order (geometric ops contribute
         identity) — the in-graph preprocessing for exported artifacts
         (ref processing.py:87)."""
-        fns = [f for f in (p.get_equivalent_photometric_fn() for p in self.processings) if f is not None]
+        # getattr-guarded: model specs may attach duck-typed processing ops that
+        # predate this interface
+        fns = [
+            f
+            for f in (getattr(p, "get_equivalent_photometric_fn", lambda: None)() for p in self.processings)
+            if f is not None
+        ]
         if not fns:
             return None
 
