@@ -50,6 +50,7 @@ class DetectionDataset:
         ignore_empty_annotations: bool = False,
         all_classes_list: Optional[Sequence[str]] = None,
         cache_images: bool = False,
+        with_crowd: bool = False,
     ):
         self.transforms = ComposeDetectionTransforms(transforms or [])
         self.max_boxes = max_boxes
@@ -57,6 +58,10 @@ class DetectionDataset:
         self.class_inclusion_list = list(class_inclusion_list) if class_inclusion_list else None
         self.ignore_empty_annotations = ignore_empty_annotations
         self.cache_images = cache_images
+        # with_crowd: emit [max_boxes, 6] targets with an is_crowd flag column —
+        # consumed by DetectionMetrics crowd-IoA handling (ref CrowdDetectionCollateFN
+        # + detection_utils.py:797 crowd_ioa)
+        self.with_crowd = with_crowd
         self._image_cache: Dict[int, np.ndarray] = {}
         self._annotations: List[Dict] = []
         self._setup()
@@ -67,6 +72,8 @@ class DetectionDataset:
             for ann in self._annotations:
                 mask = np.isin(ann["labels"], list(keep_ids))
                 ann = dict(ann, boxes_xyxy=ann["boxes_xyxy"][mask], labels=np.asarray([remap[int(l)] for l in ann["labels"][mask]], np.int32))
+                if ann.get("is_crowd") is not None and len(ann["is_crowd"]) == len(mask):
+                    ann["is_crowd"] = np.asarray(ann["is_crowd"])[mask]
                 filtered.append(ann)
             self._annotations = filtered
             self.classes = list(self.class_inclusion_list)
@@ -95,7 +102,13 @@ class DetectionDataset:
                 image = _load_image(ann["img_path"])
         else:
             image = ann["image"]
-        return DetectionSample(image, ann["boxes_xyxy"].astype(np.float32), ann["labels"].astype(np.int32))
+        crowd = ann.get("is_crowd")
+        return DetectionSample(
+            image,
+            ann["boxes_xyxy"].astype(np.float32),
+            ann["labels"].astype(np.int32),
+            np.asarray(crowd, bool) if crowd is not None else None,
+        )
 
     def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
         sample = self._get_sample(index)
@@ -103,11 +116,17 @@ class DetectionDataset:
         additional = [self._get_sample(np.random.randint(len(self))) for _ in range(n_extra)]
         sample = self.transforms(sample, additional)
         image = np.asarray(sample.image, dtype=np.float32)
-        target = np.full((self.max_boxes, 5), -1.0, dtype=np.float32)
+        cols = 6 if self.with_crowd else 5
+        target = np.full((self.max_boxes, cols), -1.0, dtype=np.float32)
         n = min(len(sample.labels), self.max_boxes)
         if n:
             target[:n, 0] = sample.labels[:n]
-            target[:n, 1:] = sample.bboxes_xyxy[:n]
+            target[:n, 1:5] = sample.bboxes_xyxy[:n]
+            if self.with_crowd:
+                crowd = sample.is_crowd[:n] if sample.is_crowd is not None else np.zeros(n, bool)
+                target[:n, 5] = crowd.astype(np.float32)
+        if self.with_crowd:
+            target[n:, 5] = 0.0  # padding rows are never crowd
         return image, target
 
     def get_dataset_preprocessing_params(self) -> Dict:
@@ -216,24 +235,26 @@ class COCOFormatDetectionDataset(DetectionDataset):
 
         anns_by_img: Dict[int, List] = {}
         for a in coco.get("annotations", []):
-            if a.get("iscrowd", 0):
+            if a.get("iscrowd", 0) and not self.with_crowd:
                 continue
             anns_by_img.setdefault(a["image_id"], []).append(a)
 
         for img in coco.get("images", []):
             anns = anns_by_img.get(img["id"], [])
-            boxes, labels = [], []
+            boxes, labels, crowd = [], [], []
             for a in anns:
                 x, y, w, h = a["bbox"]
                 if w <= 0 or h <= 0:
                     continue
                 boxes.append([x, y, x + w, y + h])
                 labels.append(cat_id_to_contig[a["category_id"]])
+                crowd.append(bool(a.get("iscrowd", 0)))
             self._annotations.append(
                 dict(
                     img_path=os.path.join(self.data_dir, self.images_dir, img["file_name"]),
                     boxes_xyxy=np.asarray(boxes, np.float32).reshape(-1, 4),
                     labels=np.asarray(labels, np.int32),
+                    is_crowd=np.asarray(crowd, bool),
                 )
             )
 

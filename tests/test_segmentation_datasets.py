@@ -165,3 +165,34 @@ def test_registered_loader_names():
 
     for n in ["coco_segmentation_train", "pascal_voc_segmentation_val", "mapillary_train", "supervisely_persons_val"]:
         assert n in DATALOADERS
+
+
+def test_coco_detection_with_crowd_targets(tmp_path):
+    """with_crowd=True emits [max_boxes, 6] targets with is_crowd col 5 — the input
+    contract of DetectionMetrics crowd-IoA handling (ref CrowdDetectionCollateFN)."""
+    from super_gradients_tpu.training.datasets import COCOFormatDetectionDataset
+
+    os.makedirs(tmp_path / "images")
+    Image.fromarray(np.zeros((24, 24, 3), np.uint8)).save(tmp_path / "images" / "im0.jpg")
+    coco = {
+        "images": [{"id": 1, "file_name": "im0.jpg", "height": 24, "width": 24}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1, "bbox": [2, 2, 10, 10], "iscrowd": 0, "area": 100},
+            {"id": 2, "image_id": 1, "category_id": 1, "bbox": [1, 1, 20, 20], "iscrowd": 1, "area": 400},
+        ],
+        "categories": [{"id": 1, "name": "thing"}],
+    }
+    with open(tmp_path / "ann.json", "w") as f:
+        json.dump(coco, f)
+
+    ds = COCOFormatDetectionDataset(data_dir=str(tmp_path), json_annotation_file="ann.json",
+                                    images_dir="images", with_crowd=True, max_boxes=4)
+    img, target = ds[0]
+    assert target.shape == (4, 6)
+    valid = target[:, 0] >= 0
+    assert valid.sum() == 2  # crowd annotation kept
+    assert set(target[valid, 5]) == {0.0, 1.0}
+    # default mode still drops crowd and emits 5 cols
+    ds5 = COCOFormatDetectionDataset(data_dir=str(tmp_path), json_annotation_file="ann.json", images_dir="images")
+    _, t5 = ds5[0]
+    assert t5.shape[-1] == 5 and (t5[:, 0] >= 0).sum() == 1
