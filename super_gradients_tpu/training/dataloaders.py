@@ -269,12 +269,18 @@ def coco2017_train_yolo_nas(data_dir: str, batch_size: int = 16, input_dim=(640,
 @register_dataloader("coco2017_val_yolo_nas")
 @register_dataloader("coco2017_val")
 def coco2017_val_yolo_nas(data_dir: str, batch_size: int = 32, input_dim=(640, 640), max_boxes: int = 120,
-                          subdir: str = "images/val2017", json_file: str = "instances_val2017.json", **kw) -> DataLoader:
+                          subdir: str = "images/val2017", json_file: str = "instances_val2017.json",
+                          with_crowd: bool = True, **kw) -> DataLoader:
+    """COCO val loader. ``with_crowd`` (default True, matching the reference's
+    CrowdDetectionCollateFN-based val loaders) emits [B, max_boxes, 6] targets whose
+    is_crowd column drives crowd-IoA handling in DetectionMetrics — required for
+    pycocotools-comparable mAP."""
     from super_gradients_tpu.training.datasets import COCODetectionDataset
 
     ds = COCODetectionDataset(
         data_dir=data_dir, subdir=subdir, json_file=json_file,
         transforms=_yolo_nas_val_transforms(tuple(input_dim)), max_boxes=max_boxes,
+        with_crowd=with_crowd,
     )
     return DataLoader(ds, batch_size=batch_size, shuffle=False, drop_last=False)
 

@@ -312,6 +312,10 @@ class PPYoloELoss:
         gt_labels = jnp.maximum(targets[..., 0], 0).astype(jnp.int32)  # [B, n]
         gt_bboxes = targets[..., 1:5]
         pad_gt_mask = (targets[..., 0] >= 0).astype(cls_logits.dtype)  # [B, n]
+        if targets.shape[-1] >= 6:
+            # crowd-aware targets ([..., 5] = is_crowd): crowd regions are excluded
+            # from assignment/loss (ref: crowd gts feed only metric IoA handling)
+            pad_gt_mask = pad_gt_mask * (targets[..., 5] <= 0).astype(cls_logits.dtype)
 
         # decode pred boxes in stride units (gradient flows through for IoU loss)
         pred_dist_4 = reg_distri.reshape(b, num_total_anchors, 4, reg_max + 1)
