@@ -181,3 +181,37 @@ def test_all_gather_variable_length_single_process():
     out = all_gather_variable_length(arrays)
     np.testing.assert_array_equal(out["a"], arrays["a"])
     np.testing.assert_array_equal(out["b"], arrays["b"])
+
+
+def test_evaluate_end_to_end_with_crowd_targets(tmp_path):
+    """Full eval loop over [B, max_boxes, 6] crowd-aware targets: loss masks crowd
+    rows, metric applies crowd-IoA — the coco2017_val default contract."""
+    import numpy as np
+
+    from super_gradients_tpu import models
+    from super_gradients_tpu.training.dataloaders import DataLoader
+    from super_gradients_tpu.training.trainer import Trainer
+
+    class _CrowdDS:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            rng = np.random.RandomState(i)
+            img = rng.rand(64, 64, 3).astype(np.float32)
+            t = np.full((6, 6), -1.0, np.float32)
+            t[0] = [1, 4, 4, 30, 30, 0]    # regular gt
+            t[1] = [1, 10, 10, 60, 60, 1]  # crowd region
+            t[:, 5] = np.maximum(t[:, 5], 0)
+            return img, t
+
+    model = models.get("yolo_nas_s", num_classes=4, image_size=64)
+    tr = Trainer("crowd_eval", ckpt_root_dir=str(tmp_path))
+    res = tr.evaluate(
+        model,
+        DataLoader(_CrowdDS(), batch_size=4, drop_last=False),
+        {"loss": "PPYoloELoss", "criterion_params": {"num_classes": 4}},
+        metrics_list=[{"DetectionMetrics_050": {"num_cls": 4, "score_threshold": 0.0}}],
+    )
+    assert np.isfinite(res["Loss"])
+    assert "mAP@0.50" in res
