@@ -141,6 +141,12 @@ class Trainer:
         if tp.get("clip_grad_norm"):
             tx = optax.chain(optax.clip_by_global_norm(float(tp["clip_grad_norm"])), tx)
         frozen_patterns = list(tp.get("frozen_param_patterns") or [])
+        # kd_module trained through the plain Trainer (recipe path): the teacher must
+        # never receive updates OR weight decay (ref KDTrainer; kd_trainer.py does the
+        # same for the class-based flow)
+        if "teacher" in (model.params or {}) and "student" in (model.params or {}) and "teacher" not in frozen_patterns:
+            frozen_patterns.append("teacher")
+            logger.info("kd_module detected: freezing `teacher` subtree (no updates, no weight decay)")
         if frozen_patterns:
             # Freeze matching subtrees entirely: the main transform never sees them
             # (so decoupled/coupled weight decay cannot decay them — ref KD teacher

@@ -166,3 +166,36 @@ def test_kd_module_reference_naming():
     out = m.module.apply(m.variables, np.zeros((1, 32, 32, 3), np.float32), train=False)
     assert out.student_output.shape == (1, 7)
     assert out.teacher_output.shape == (1, 7)
+
+
+def test_plain_trainer_freezes_kd_teacher(tmp_path):
+    """Training a kd_module through the plain Trainer (recipe path) must leave the
+    teacher bit-identical (ref KDTrainer teacher freezing)."""
+    import jax
+    import numpy as np
+
+    from super_gradients_tpu import models
+    from super_gradients_tpu.training.dataloaders import DataLoader, RandomClassificationDataset
+    from super_gradients_tpu.training.trainer import Trainer
+
+    m = models.get("kd_module", num_classes=4,
+                   arch_params={"student": "resnet18_cifar", "teacher": "resnet18_cifar"})
+    teacher_before = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), m.params["teacher"])
+    tr = Trainer("kd_plain", ckpt_root_dir=str(tmp_path))
+    tr.train(
+        model=m,
+        training_params={"max_epochs": 1, "initial_lr": 1e-2, "loss": "KDLogitsLoss",
+                         "optimizer": "SGD", "optimizer_params": {"weight_decay": 1e-2},
+                         "metric_to_watch": "train_loss", "greater_metric_to_watch_is_better": False,
+                         "ema": False, "average_best_models": False},
+        train_loader=DataLoader(RandomClassificationDataset(num_samples=8, image_size=(32, 32), num_classes=4), batch_size=8),
+    )
+    flat_after = jax.tree_util.tree_leaves(m.params["teacher"])
+    flat_before = jax.tree_util.tree_leaves(teacher_before)
+    for a, b in zip(flat_before, flat_after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # student moved
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(m.params["student"]), flat_before)
+    )
