@@ -41,7 +41,8 @@ class StrictLoad:
 
 # applied to dotted flax path AFTER model-specific rules
 _GENERIC_RULES: Rules = (
-    (r"_(\d+)(?=\.|$)", r".\1"),  # bottlenecks_0 -> bottlenecks.0, layer1_0 -> layer1.0
+    # bottlenecks_0 -> bottlenecks.0, layer1_0 -> layer1.0, fpn_stages_0_0 -> fpn_stages.0.0
+    (r"_(\d+)(?=[._]|$)", r".\1"),
 )
 
 _LEAF_MAP = {
@@ -210,12 +211,77 @@ YOLO_NAS_RULES: Rules = (
 )
 
 
+PPYOLOE_RULES: Rules = (
+    # reference ConvBNAct nests conv/bn under a `seq` Sequential
+    # (modules/conv_bn_act_block.py:44-66); ours names them directly
+    (r"(?<!seq)\.(conv|bn)$", r".seq.\1"),
+    # classic RepVGG branches (modules/repvgg_block.py:62-75)
+    (r"branch_3x3_conv", "branch_3x3.conv"),
+    (r"branch_3x3_bn", "branch_3x3.bn"),
+    (r"branch_1x1_conv", "branch_1x1.conv"),
+    (r"branch_1x1_bn", "branch_1x1.bn"),
+    (r"identity_bn", "no_conv_branch"),
+    # CSPStage mid-sequence SPP insert is named "spp" (pp_yolo_e/pan.py:55)
+    (r"convs_spp", "convs.spp"),
+    # backbone stem Sequential (csp_resnet.py:152-193)
+    (r"stem_conv(\d)", r"stem.conv\1"),
+    # EffectiveSEBlock projection conv (modules/se_blocks.py:36)
+    (r"attn\.fc", "attn.project"),
+    # ESEAttn head stems (pp_yolo_head.py:79-93)
+    (r"stem_(cls|reg)_(\d+)_fc", r"stem_\1.\2.fc"),
+    (r"stem_(cls|reg)_(\d+)_conv", r"stem_\1.\2.conv"),
+)
+
+
+# Reference YOLOX is a flat indexed ModuleList (yolo_base.py:395-430 comments 10-24
+# restart at 0 in the state_dict; csp_darknet53.py:204-229 backbone indices 0-9);
+# our flax modules use semantic names — map them to the flat indices.
+YOLOX_RULES: Rules = (
+    (r"^backbone\.stem", "_backbone._modules_list.0"),
+    (r"^backbone\.dark2_conv", "_backbone._modules_list.1"),
+    (r"^backbone\.dark2_csp", "_backbone._modules_list.2"),
+    (r"^backbone\.dark3_conv", "_backbone._modules_list.3"),
+    (r"^backbone\.dark3_csp", "_backbone._modules_list.4"),
+    (r"^backbone\.dark4_conv", "_backbone._modules_list.5"),
+    (r"^backbone\.dark4_csp", "_backbone._modules_list.6"),
+    (r"^backbone\.dark5_conv", "_backbone._modules_list.7"),
+    (r"^backbone\.dark5_spp", "_backbone._modules_list.8"),
+    (r"^backbone\.dark5_csp", "_backbone._modules_list.9"),
+    (r"^lateral5", "_head._modules_list.0"),
+    (r"^fpn_c4", "_head._modules_list.3"),
+    (r"^lateral4", "_head._modules_list.4"),
+    (r"^fpn_c3", "_head._modules_list.7"),
+    (r"^down3", "_head._modules_list.8"),
+    (r"^pan_c4", "_head._modules_list.10"),
+    (r"^down4", "_head._modules_list.11"),
+    (r"^pan_c5", "_head._modules_list.13"),
+    (r"^head(\d)_stem", r"_head._modules_list.14.stems.\1"),
+    (r"^head(\d)_cls1", r"_head._modules_list.14.cls_convs.\1.0"),
+    (r"^head(\d)_cls2", r"_head._modules_list.14.cls_convs.\1.1"),
+    (r"^head(\d)_reg1", r"_head._modules_list.14.reg_convs.\1.0"),
+    (r"^head(\d)_reg2", r"_head._modules_list.14.reg_convs.\1.1"),
+    (r"^head(\d)_cls_pred", r"_head._modules_list.14.cls_preds.\1"),
+    (r"^head(\d)_reg_pred", r"_head._modules_list.14.reg_preds.\1"),
+    (r"^head(\d)_obj_pred", r"_head._modules_list.14.obj_preds.\1"),
+    # CSPLayer bottleneck sequence (csp_darknet53.py:100-104)
+    (r"\.b(\d+)_cv", r".bottlenecks.\1.cv"),
+)
+
+
 def resnet_key_mapper():
     return RESNET_RULES
 
 
 def yolo_nas_key_mapper():
     return YOLO_NAS_RULES
+
+
+def ppyoloe_key_mapper():
+    return PPYOLOE_RULES
+
+
+def yolox_key_mapper():
+    return YOLOX_RULES
 
 
 def load_torch_weights(

@@ -452,6 +452,7 @@ def resnext50(num_classes=None, arch_params=None, **kw):
 
 
 def _ppyoloe_spec(config_fn, num_classes=None, arch_params=None, image_size: int = 640, **kw) -> ModelSpec:
+    from super_gradients_tpu.conversion.torch_converter import ppyoloe_key_mapper
     from super_gradients_tpu.models.detection.pp_yolo_e import PPYoloE
 
     arch_params = arch_params or {}
@@ -465,6 +466,7 @@ def _ppyoloe_spec(config_fn, num_classes=None, arch_params=None, image_size: int
         config=cfg,
         processing=default_yolo_nas_coco_processing(image_size),
         class_names=COCO_DETECTION_CLASSES_LIST if nc == 80 else None,
+        torch_key_mapper=ppyoloe_key_mapper,
     )
 
 
@@ -500,6 +502,7 @@ def ppyoloe_x(**kw):
 
 
 def _yolox_spec(variant, num_classes=None, arch_params=None, image_size: int = 640, **kw) -> ModelSpec:
+    from super_gradients_tpu.conversion.torch_converter import yolox_key_mapper
     from super_gradients_tpu.models.detection.yolox import YoloX, yolox_config
 
     nc = num_classes or (arch_params or {}).get("num_classes", 80)
@@ -512,6 +515,7 @@ def _yolox_spec(variant, num_classes=None, arch_params=None, image_size: int = 6
         config=cfg,
         processing=default_yolo_nas_coco_processing(image_size),
         class_names=COCO_DETECTION_CLASSES_LIST if nc == 80 else None,
+        torch_key_mapper=yolox_key_mapper,
     )
 
 

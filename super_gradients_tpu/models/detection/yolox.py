@@ -28,20 +28,6 @@ def _d(n: int, depth: float) -> int:
     return max(round(n * depth), 1)
 
 
-class Focus(nn.Module):
-    """Space-to-depth stem (ref csp_darknet53 Focus)."""
-
-    out_channels: int
-    act: str = "silu"
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        patches = jnp.concatenate(
-            [x[:, ::2, ::2], x[:, 1::2, ::2], x[:, ::2, 1::2], x[:, 1::2, 1::2]], axis=-1
-        )
-        return ConvBNAct(out_channels=self.out_channels, kernel=3, act=self.act, name="conv")(patches, train=train)
-
-
 class CSPLayer(nn.Module):
     """ref csp_darknet53.py:75-111."""
 
@@ -92,7 +78,8 @@ class CSPDarknet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         conv = partial(ConvBNAct, act=self.act)
-        x = Focus(_w(64, self.width), self.act, name="stem")(x, train=train)
+        # 6x6/s2 stem conv (ref csp_darknet53.py:207 — the yoloX reparam of Focus)
+        x = conv(out_channels=_w(64, self.width), kernel=6, stride=2, padding=2, name="stem")(x, train=train)
         x = conv(out_channels=_w(128, self.width), kernel=3, stride=2, name="dark2_conv")(x, train=train)
         x = CSPLayer(_w(128, self.width), _d(3, self.depth), act=self.act, name="dark2_csp")(x, train=train)
         x = conv(out_channels=_w(256, self.width), kernel=3, stride=2, name="dark3_conv")(x, train=train)

@@ -228,7 +228,8 @@ class DetectionModel(SgModel):
 
         from super_gradients_tpu.modules.blocks import fuse_all_qarepvgg
 
-        if self.config is None or getattr(self.config, "fused", "none") != "none":
+        # configs without a `fused` field (e.g. YOLOX) have no reparam blocks — no-op
+        if self.config is None or getattr(self.config, "fused", None) != "none":
             return self
         with jax.default_device(jax.devices("cpu")[0]):  # fusion math on host
             fused_params, fused_stats = fuse_all_qarepvgg(
