@@ -43,6 +43,8 @@ class StrictLoad:
 _GENERIC_RULES: Rules = (
     # bottlenecks_0 -> bottlenecks.0, layer1_0 -> layer1.0, fpn_stages_0_0 -> fpn_stages.0.0
     (r"_(\d+)(?=[._]|$)", r".\1"),
+    # model rules write `§` where a literal underscore-digit must survive the rule above
+    (r"§", "_"),
 )
 
 _LEAF_MAP = {
@@ -276,12 +278,137 @@ def yolo_nas_key_mapper():
     return YOLO_NAS_RULES
 
 
+# pose heads add ConvBNReLU stems + a pose_convs Sequential
+# (yolo_nas_pose_dfl_head.py:84-101; shared_stem=False in all shipped variants)
+YOLO_NAS_POSE_RULES: Rules = YOLO_NAS_RULES + (
+    (r"(head\d\.(?:pose|bbox)_stem)\.conv$", r"\1.seq.conv"),
+    (r"(head\d\.(?:pose|bbox)_stem)\.bn$", r"\1.seq.bn"),
+    (r"(head\d)\.pose_convs_(\d+)\.conv$", r"\1.pose_convs.\2.seq.conv"),
+    (r"(head\d)\.pose_convs_(\d+)\.bn$", r"\1.pose_convs.\2.seq.bn"),
+    # our heads are top-level; the reference nests them under the NDFL `heads` module
+    (r"^head(\d)", r"heads.head\1"),
+)
+
+
+def yolo_nas_pose_key_mapper():
+    return YOLO_NAS_POSE_RULES
+
+
 def ppyoloe_key_mapper():
     return PPYOLOE_RULES
 
 
 def yolox_key_mapper():
     return YOLOX_RULES
+
+
+VIT_RULES: Rules = (
+    # reference vit.py:19-44 PatchEmbed wraps the conv as .proj
+    (r"^patch_embed\b", "patch_embedding.proj"),
+    (r"^block_(\d+)", r"transformer.blocks.\1"),
+    (r"\.mlp_fc(\d)", r".mlp.fc\1"),
+    (r"^norm$", "pre_head_norm"),
+)
+
+
+def vit_key_mapper():
+    return VIT_RULES
+
+
+def _ddrnet_dappm_down_scale(m):
+    """DAPPMBranch down_scale Sequential index depends on the branch's stride
+    (ddrnet.py:61-75): branch 0 (stride 1) has no pooling layer, so BN/conv sit at
+    0/2; all other branches have a pooling layer first → 1/3."""
+    b = int(m.group(1))
+    bn_i, conv_i = (0, 2) if b == 0 else (1, 3)
+    return f"spp.branches.{b}.down_scale.{bn_i if m.group(2) == 'bn' else conv_i}"
+
+
+DDRNET_RULES: Rules = (
+    # backbone-owned layers (ddrnet.py:218-232 BasicDDRBackBone)
+    (r"^stem_(\d)\.conv$", r"_backbone.stem.\1.0"),
+    (r"^stem_(\d)\.bn$", r"_backbone.stem.\1.1"),
+    (r"^layer3_(\d+)", r"_backbone.layer3.\1"),
+    (r"^layer([124])_(\d+)", r"_backbone.layer\1.\2"),
+    # ConvBN = Sequential(conv, bn) (ddrnet.py:23-28)
+    (r"^down3_(\d+)\.conv$", r"down3.\1.0"),
+    (r"^down3_(\d+)\.bn$", r"down3.\1.1"),
+    (r"^compression3_(\d+)\.conv$", r"compression3.\1.0"),
+    (r"^compression3_(\d+)\.bn$", r"compression3.\1.1"),
+    (r"^compression4\.conv$", "compression4.0"),
+    (r"^compression4\.bn$", "compression4.1"),
+    (r"^down4_(\d)\.conv$", r"down4.\1.0"),
+    (r"^down4_(\d)\.bn$", r"down4.\1.1"),
+    # DAPPM (ddrnet.py:44-138)
+    (r"^spp\.branch_(\d)\.(bn|conv)$", _ddrnet_dappm_down_scale),
+    (r"^spp\.branch_(\d)\.process_bn$", r"spp.branches.\1.process.0"),
+    (r"^spp\.branch_(\d)\.process_conv$", r"spp.branches.\1.process.2"),
+    (r"^spp\.compression_bn$", "spp.compression.0"),
+    (r"^spp\.compression_conv$", "spp.compression.2"),
+    (r"^spp\.shortcut_bn$", "spp.shortcut.0"),
+    (r"^spp\.shortcut_conv$", "spp.shortcut.2"),
+    # residual-block shortcuts (classification resnet blocks)
+    (r"shortcut_conv", "shortcut.0"),
+    (r"shortcut_bn", "shortcut.1"),
+)
+
+
+def ddrnet_key_mapper():
+    return DDRNET_RULES
+
+
+# classic RepVGG blocks: both branches are Sequential(conv, bn), identity is a bare
+# BN named no_conv_branch (modules/repvgg_block.py:62-75)
+REPVGG_RULES: Rules = (
+    (r"branch_3x3_conv", "branch_3x3.conv"),
+    (r"branch_3x3_bn", "branch_3x3.bn"),
+    (r"branch_1x1_conv", "branch_1x1.conv"),
+    (r"branch_1x1_bn", "branch_1x1.bn"),
+    (r"identity_bn", "no_conv_branch"),
+)
+
+
+def repvgg_key_mapper():
+    return REPVGG_RULES
+
+
+# torchvision-style DenseNet tree under `features` (densenet.py:22-118)
+DENSENET_RULES: Rules = (
+    (r"^denseblock(\d)_layer(\d+)", r"features.denseblock\1.denselayer\2"),
+    (r"^transition(\d)_norm$", r"features.transition\1.norm"),
+    (r"^transition(\d)_conv$", r"features.transition\1.conv"),
+    (r"^conv0$", "features.conv0"),
+    (r"^norm0$", "features.norm0"),
+    (r"^norm5$", "features.norm5"),
+)
+
+
+def densenet_key_mapper():
+    return DENSENET_RULES
+
+
+# RegNet: net.stem / net.stage_{i}.blocks.block_{j} Sequential indices
+# (regnet.py:36-148); `§` guards the literal underscores in stage_/block_
+REGNET_RULES: Rules = (
+    (r"^stem\.conv$", "net.stem.conv"),
+    (r"^stem\.bn$", "net.stem.bn"),
+    (r"^stage_(\d+)_(\d+)", r"net.stage§\1.blocks.block§\2"),
+    (r"\.conv1\.conv$", ".conv_block§1.0"),
+    (r"\.conv1\.bn$", ".conv_block§1.1"),
+    (r"\.conv2\.conv$", ".conv_block§2.0"),
+    (r"\.conv2\.bn$", ".conv_block§2.1"),
+    (r"\.conv3\.conv$", ".conv_block§3.0"),
+    (r"\.conv3\.bn$", ".conv_block§3.1"),
+    (r"\.se\.fc1$", ".se.1"),
+    (r"\.se\.fc2$", ".se.3"),
+    (r"\.shortcut\.conv$", ".shortcut.0"),
+    (r"\.shortcut\.bn$", ".shortcut.1"),
+    (r"^fc$", "net.head.fc"),
+)
+
+
+def regnet_key_mapper():
+    return REGNET_RULES
 
 
 def load_torch_weights(

@@ -126,7 +126,7 @@ def yolo_nas_l(**kw):
 # ------------------------------------------------------------ Segmentation zoo
 
 
-def _seg_spec(module, nc, input_hw=(512, 1024), cfg=None) -> ModelSpec:
+def _seg_spec(module, nc, input_hw=(512, 1024), cfg=None, torch_key_mapper=None) -> ModelSpec:
     from super_gradients_tpu.inference.processing import (
         ClassificationResize,
         ComposeProcessing,
@@ -149,6 +149,7 @@ def _seg_spec(module, nc, input_hw=(512, 1024), cfg=None) -> ModelSpec:
             ]
         ),
         class_names=CITYSCAPES_CLASSES_LIST if nc == 19 else None,
+        torch_key_mapper=torch_key_mapper,
     )
 
 
@@ -169,6 +170,11 @@ class _SegResize:
 
     def postprocess_keypoints(self, kpts, meta):
         return kpts
+
+    def postprocess_segmentation(self, seg_map, meta):
+        from super_gradients_tpu.inference.processing import _resize_nearest
+
+        return _resize_nearest(seg_map, meta.original_hw)
 
     def infer_image_input_shape(self):
         return self.output_hw
@@ -231,10 +237,12 @@ def _ddrnet(cfg, num_classes=None, arch_params=None, input_hw=(512, 1024), **kw)
 
     from super_gradients_tpu.models.segmentation.ddrnet import DDRNet
 
+    from super_gradients_tpu.conversion.torch_converter import ddrnet_key_mapper
+
     arch_params = arch_params or {}
     nc = num_classes or arch_params.get("num_classes", 19)
     cfg = dataclasses.replace(cfg, num_classes=nc, use_aux_heads=arch_params.get("use_aux_heads", False))
-    return _seg_spec(DDRNet(cfg), nc, tuple(input_hw), cfg)
+    return _seg_spec(DDRNet(cfg), nc, tuple(input_hw), cfg, torch_key_mapper=ddrnet_key_mapper)
 
 
 @register_model("ddrnet_23")
@@ -271,6 +279,8 @@ def _pose_spec(config_fn, num_classes=None, arch_params=None, image_size: int = 
     cfg = config_fn(num_joints=nj)
     import functools
 
+    from super_gradients_tpu.conversion.torch_converter import yolo_nas_pose_key_mapper
+
     wrapper = functools.partial(PoseEstimationModel, edge_links=COCO_POSE_EDGE_LINKS if nj == 17 else None)
     return ModelSpec(
         module=YoloNASPose(cfg),
@@ -281,6 +291,7 @@ def _pose_spec(config_fn, num_classes=None, arch_params=None, image_size: int = 
         processing=default_yolo_nas_coco_processing(image_size),
         class_names=COCO_POSE_KEYPOINTS if nj == 17 else None,
         wrapper_cls=wrapper,
+        torch_key_mapper=yolo_nas_pose_key_mapper,
     )
 
 
@@ -315,13 +326,14 @@ def yolo_nas_pose_l(**kw):
 # ------------------------------------------------- Classification zoo (extended)
 
 
-def _cls_spec(module, nc, input_hw=(224, 224)) -> ModelSpec:
+def _cls_spec(module, nc, input_hw=(224, 224), torch_key_mapper=None) -> ModelSpec:
     return ModelSpec(
         module=module,
         task="classification",
         num_classes=nc,
         input_hw=input_hw,
         processing=default_imagenet_processing(crop=input_hw[0]),
+        torch_key_mapper=torch_key_mapper,
     )
 
 
@@ -373,10 +385,13 @@ for _v in ["b0", "b1", "b2", "b3", "b4"]:
 def _regnety(variant, num_classes=None, arch_params=None, **kw):
     from super_gradients_tpu.models.classification.regnet import REGNETY_PARAMS, RegNetY
 
+    from super_gradients_tpu.conversion.torch_converter import regnet_key_mapper
+
     nc = num_classes or 1000
     iw, slope, q, depth, gw, se = REGNETY_PARAMS[variant]
     return _cls_spec(
-        RegNetY(num_classes=nc, initial_width=iw, slope=slope, quantized_param=q, depth=depth, group_width=gw, se_ratio=se), nc
+        RegNetY(num_classes=nc, initial_width=iw, slope=slope, quantized_param=q, depth=depth, group_width=gw, se_ratio=se), nc,
+        torch_key_mapper=regnet_key_mapper,
     )
 
 
@@ -386,18 +401,20 @@ for _v in ["regnetY200", "regnetY400", "regnetY600", "regnetY800"]:
 
 @register_model("vit_base")
 def vit_base_model(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.conversion.torch_converter import vit_key_mapper
     from super_gradients_tpu.models.classification.vit import vit_base
 
     nc = num_classes or 1000
-    return _cls_spec(vit_base(num_classes=nc), nc)
+    return _cls_spec(vit_base(num_classes=nc), nc, torch_key_mapper=vit_key_mapper)
 
 
 @register_model("vit_large")
 def vit_large_model(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.conversion.torch_converter import vit_key_mapper
     from super_gradients_tpu.models.classification.vit import vit_large
 
     nc = num_classes or 1000
-    return _cls_spec(vit_large(num_classes=nc), nc)
+    return _cls_spec(vit_large(num_classes=nc), nc, torch_key_mapper=vit_key_mapper)
 
 
 @register_model("vgg16")
@@ -434,10 +451,11 @@ def shufflenet_v2(num_classes=None, arch_params=None, **kw):
 
 @register_model("densenet121")
 def densenet121(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.conversion.torch_converter import densenet_key_mapper
     from super_gradients_tpu.models.classification.misc_models import DenseNet
 
     nc = num_classes or 1000
-    return _cls_spec(DenseNet(num_classes=nc), nc)
+    return _cls_spec(DenseNet(num_classes=nc), nc, torch_key_mapper=densenet_key_mapper)
 
 
 @register_model("resnext50")
@@ -548,9 +566,11 @@ def _repvgg(variant, num_classes=None, arch_params=None, **kw):
 
     from super_gradients_tpu.models.classification.repvgg import REPVGG_VARIANTS, RepVGG
 
+    from super_gradients_tpu.conversion.torch_converter import repvgg_key_mapper
+
     nc = num_classes or 1000
     cfg = dataclasses.replace(REPVGG_VARIANTS[variant], num_classes=nc)
-    return _cls_spec(RepVGG(cfg), nc)
+    return _cls_spec(RepVGG(cfg), nc, torch_key_mapper=repvgg_key_mapper)
 
 
 for _v in ["repvgg_a0", "repvgg_a1", "repvgg_a2", "repvgg_b0"]:

@@ -16,30 +16,28 @@ import numpy as np
 from super_gradients_tpu.modules.blocks import ConvBNAct, SEBlock
 
 # variant: (initial_width, slope, quantized_param, depth, group_width, se_ratio)
+# — the REFERENCE's own constants (regnet.py:314-335), not the paper's: checkpoint
+# parity requires reproducing its exact width ladder.
 REGNETY_PARAMS = {
-    "regnetY200": (24, 36.44, 2.49, 13, 8, 0.25),
-    "regnetY400": (48, 27.89, 2.09, 16, 8, 0.25),
-    "regnetY600": (48, 32.54, 2.32, 15, 16, 0.25),
-    "regnetY800": (56, 38.84, 2.4, 14, 16, 0.25),
+    "regnetY200": (24, 36, 2.5, 13, 8, 0.25),
+    "regnetY400": (48, 28, 2.1, 16, 8, 0.25),
+    "regnetY600": (48, 33, 2.3, 15, 16, 0.25),
+    "regnetY800": (56, 39, 2.4, 14, 16, 0.25),
 }
 
 
 def _generate_widths(initial_width: float, slope: float, q: float, depth: int, group_width: int) -> Tuple[List[int], List[int]]:
-    """RegNet width generation (quantized log-space ladder) -> per-stage (widths, depths)."""
-    widths_cont = np.arange(depth) * slope + initial_width
-    ks = np.round(np.log(widths_cont / initial_width) / np.log(q))
-    widths_all = initial_width * np.power(q, ks)
-    widths_all = np.round(widths_all / 8) * 8
-    widths_all = [int(min(w, w // group_width * group_width) or group_width) for w in widths_all]
-    # group consecutive equal widths into stages
-    stage_widths, stage_depths = [], []
-    for w in widths_all:
-        if stage_widths and stage_widths[-1] == w:
-            stage_depths[-1] += 1
-        else:
-            stage_widths.append(w)
-            stage_depths.append(1)
-    return stage_widths, stage_depths
+    """Per-stage (widths, depths), matching the reference's
+    ``regnet_params_to_blocks`` (regnet.py:193-208) number-for-number:
+    8-divisible quantized log ladder, then np.unique stage grouping, then a final
+    round-to-group-width adjustment (bottleneck_ratio is 1 for the Y family)."""
+    pw = initial_width + slope * np.arange(depth)
+    pb = np.round(np.log(pw / initial_width) / np.log(q))
+    qw = 8 * np.round(initial_width * np.power(q, pb) / 8)
+    stage_widths, stage_depths = np.unique(qw.astype(np.int64), return_counts=True)
+    gw = np.minimum(group_width, stage_widths)
+    stage_widths = (np.round(stage_widths / gw) * gw).astype(np.int64)
+    return stage_widths.tolist(), stage_depths.tolist()
 
 
 class YBlock(nn.Module):

@@ -15,6 +15,25 @@ import jax
 import jax.numpy as jnp
 
 
+class Attention(nn.Module):
+    """Fused-qkv self-attention, exactly the reference layout (vit.py:67-100):
+    one Dense producing q|k|v, scaled dot-product, output projection. Fused qkv
+    is also the best MXU shape (one [N,D]x[D,3D] matmul instead of three)."""
+
+    heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, C = x.shape
+        dh = C // self.heads
+        qkv = nn.Dense(3 * C, name="to_qkv")(x).reshape(B, N, 3, self.heads, dh)
+        qkv = qkv.transpose(2, 0, 3, 1, 4)  # [3, B, h, N, dh]
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = jax.nn.softmax((q @ k.transpose(0, 1, 3, 2)) * dh**-0.5, axis=-1)
+        out = (attn @ v).transpose(0, 2, 1, 3).reshape(B, N, C)
+        return nn.Dense(C, name="proj")(out)
+
+
 class TransformerBlock(nn.Module):
     dim: int
     heads: int
@@ -24,9 +43,7 @@ class TransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = nn.LayerNorm(name="norm1")(x)
-        h = nn.MultiHeadDotProductAttention(
-            num_heads=self.heads, qkv_features=self.dim, deterministic=not train, dropout_rate=self.dropout, name="attn"
-        )(h, h)
+        h = Attention(self.heads, name="attn")(h)
         x = x + h
         h = nn.LayerNorm(name="norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(h)
@@ -58,7 +75,7 @@ class ViT(nn.Module):
         n = x.shape[1]
         cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.dim))
         x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.dim)), x], axis=1)
-        pos = self.param("pos_embed", nn.initializers.normal(0.02), (1, n + 1, self.dim))
+        pos = self.param("pos_embedding", nn.initializers.normal(0.02), (1, n + 1, self.dim))
         x = x + pos
         for i in range(self.depth):
             x = TransformerBlock(self.dim, self.heads, self.mlp_ratio, self.dropout, name=f"block_{i}")(x, train=train)

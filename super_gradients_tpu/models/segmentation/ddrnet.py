@@ -33,12 +33,13 @@ class ConvBN(nn.Module):
     kernel: int = 3
     stride: int = 1
     add_relu: bool = False
+    bias: bool = False  # ref default is True; DDRNet passes False everywhere except the stem
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = self.kernel // 2
         x = nn.Conv(self.out_channels, (self.kernel, self.kernel), strides=(self.stride, self.stride),
-                    padding=((p, p), (p, p)), use_bias=False, name="conv")(x)
+                    padding=((p, p), (p, p)), use_bias=self.bias, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")(x)
         return nn.relu(x) if self.add_relu else x
 
@@ -160,8 +161,8 @@ class DDRNet(nn.Module):
         out_h, out_w = x.shape[1] // 8, x.shape[2] // 8
 
         # stem: two stride-2 ConvBN+relu
-        x = ConvBN(w, 3, 2, add_relu=True, name="stem_0")(x, train=train)
-        x = ConvBN(w, 3, 2, add_relu=True, name="stem_1")(x, train=train)
+        x = ConvBN(w, 3, 2, add_relu=True, bias=True, name="stem_0")(x, train=train)
+        x = ConvBN(w, 3, 2, add_relu=True, bias=True, name="stem_1")(x, train=train)
         x = _make_layer(x, "basic", w, bl[0], 1, 1, "layer1", train)
         x = _make_layer(nn.relu(x), "basic", w * 2, bl[1], 2, 1, "layer2", train)
         x_skip = x

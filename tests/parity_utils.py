@@ -95,6 +95,48 @@ def detection_parity(ref_net, model, input_hw=(64, 64), rules=None, atol=5e-4, s
     assert_close(got_boxes, ref_boxes, atol=max(atol * 100, 5e-2), rtol=1e-3, name="pred_bboxes")
 
 
+def segmentation_parity(ref_net, model, input_hw=(128, 256), rules=None, atol=5e-4, seed=0,
+                        ref_out_fn=None):
+    """Compare eval-mode segmentation logit maps (ref NCHW vs ours NHWC)."""
+    import jax.numpy as jnp
+
+    ref_net = randomize_reference(ref_net, seed=seed, input_hw=input_hw)
+    convert_into(ref_net, model, rules or ())
+
+    x = (np.random.RandomState(seed).rand(1, input_hw[0], input_hw[1], 3).astype(np.float32) - 0.5)
+    with torch.no_grad():
+        ref_out = ref_net(to_nchw(x))
+    if ref_out_fn is not None:
+        ref_out = ref_out_fn(ref_out)
+    elif isinstance(ref_out, (tuple, list)):
+        ref_out = ref_out[0]
+    ref_out = ref_out.numpy().transpose(0, 2, 3, 1)
+
+    got = model.apply(jnp.asarray(x), train=False)
+    if isinstance(got, (tuple, list)):
+        got = got[0]
+    assert_close(np.asarray(got), ref_out, atol=atol)
+
+
+def pose_parity(ref_net, model, input_hw=(64, 64), rules=None, atol=5e-4, seed=0):
+    """Compare eval-mode decoded pose outputs (bboxes, scores, pose coords, pose scores)."""
+    import jax.numpy as jnp
+
+    ref_net = randomize_reference(ref_net, seed=seed, input_hw=input_hw)
+    convert_into(ref_net, model, rules or ())
+
+    x = (np.random.RandomState(seed).rand(1, input_hw[0], input_hw[1], 3).astype(np.float32) - 0.5)
+    with torch.no_grad():
+        decoded = ref_net(to_nchw(x))[0]
+    ref_boxes, ref_scores, ref_coords, ref_kscores = [t.numpy() for t in decoded]
+
+    got = model.apply(jnp.asarray(x), train=False)
+    assert_close(np.asarray(got.pred_scores), ref_scores, atol=atol, name="pred_scores")
+    assert_close(np.asarray(got.pred_pose_scores), ref_kscores, atol=atol, name="pred_pose_scores")
+    assert_close(np.asarray(got.pred_bboxes), ref_boxes, atol=5e-2, rtol=1e-3, name="pred_bboxes")
+    assert_close(np.asarray(got.pred_pose_coords), ref_coords, atol=5e-2, rtol=1e-3, name="pred_pose_coords")
+
+
 def classification_parity(ref_net, model, input_hw=(64, 64), rules=None, atol=5e-4, seed=0):
     """Forward both nets on one input; compare logits. Returns (got, ref)."""
     from super_gradients_tpu.conversion.torch_converter import convert_state_dict

@@ -605,8 +605,10 @@ def _install_hollow_packages():
         def set_location(*a, **k):
             pass
 
-    # keep the reference's console sink from writing ~/sg_logs on import
-    _mod("super_gradients.common.auto_logging")
+    # keep the reference's console sink from writing ~/sg_logs on import;
+    # other auto_logging submodules still load for real (real __path__)
+    al = _mod("super_gradients.common.auto_logging")
+    al.__path__ = [os.path.join(REF_SRC, "super_gradients/common/auto_logging")]
     _mod("super_gradients.common.auto_logging.console_logging", ConsoleSink=_ConsoleSink)
 
     # attributes some leaf files expect on hollow parents

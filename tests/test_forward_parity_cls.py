@@ -26,3 +26,39 @@ def test_resnet18_forward_parity():
     ref = m.ResNet18(_hp(), num_classes=7)
     mine = model_factory.get("resnet18", num_classes=7)
     parity_utils.classification_parity(ref, mine, input_hw=(64, 64), rules=RESNET_RULES)
+
+
+def test_repvgg_a0_forward_parity():
+    from super_gradients_tpu.conversion.torch_converter import REPVGG_RULES
+
+    m = ref_loader.load_ref_module("super_gradients.training.models.classification_models.repvgg")
+    ref = m.RepVggA0(_hp(num_classes=7, build_residual_branches=True))
+    mine = model_factory.get("repvgg_a0", num_classes=7)
+    parity_utils.classification_parity(ref, mine, input_hw=(64, 64), rules=REPVGG_RULES)
+
+
+def test_densenet121_forward_parity():
+    from super_gradients_tpu.conversion.torch_converter import DENSENET_RULES
+
+    m = ref_loader.load_ref_module("super_gradients.training.models.classification_models.densenet")
+    ref = m.DenseNet121(_hp(num_classes=7))
+    mine = model_factory.get("densenet121", num_classes=7)
+    parity_utils.classification_parity(ref, mine, input_hw=(64, 64), rules=DENSENET_RULES)
+
+
+def test_regnetY200_forward_parity():
+    from super_gradients_tpu.conversion.torch_converter import REGNET_RULES
+
+    m = ref_loader.load_ref_module("super_gradients.training.models.classification_models.regnet")
+    ref = m.RegNetY200(_hp(num_classes=7))
+    mine = model_factory.get("regnetY200", num_classes=7)
+    parity_utils.classification_parity(ref, mine, input_hw=(64, 64), rules=REGNET_RULES)
+
+
+def test_vit_base_forward_parity():
+    from super_gradients_tpu.conversion.torch_converter import VIT_RULES
+
+    m = ref_loader.load_ref_module("super_gradients.training.models.classification_models.vit")
+    ref = m.ViTBase(_hp(num_classes=7, image_size=(224, 224)))
+    mine = model_factory.get("vit_base", num_classes=7)
+    parity_utils.classification_parity(ref, mine, input_hw=(224, 224), rules=VIT_RULES)

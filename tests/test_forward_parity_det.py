@@ -41,3 +41,33 @@ def test_ppyoloe_s_forward_parity():
     ref = m.PPYoloE_S(_hp(num_classes=7))
     mine = model_factory.get("ppyoloe_s", num_classes=7)
     parity_utils.detection_parity(ref, mine, input_hw=(64, 64), rules=PPYOLOE_RULES)
+
+
+def test_yolox_s_forward_parity():
+    import torch
+
+    from super_gradients_tpu.conversion.torch_converter import YOLOX_RULES
+
+    m = ref_loader.load_ref_module("super_gradients.training.models.detection_models.yolox")
+    ref = m.YoloX_S(_hp(num_classes=7))
+    mine = model_factory.get("yolox_s", num_classes=7)
+
+    def ref_out_fn(o):
+        out = o[0]  # [B, A, 4+1+C]: cxcywh + sigmoid(obj) + sigmoid(cls) (yolo_base.py:273-278)
+        cx, cy, w, h = out[..., 0], out[..., 1], out[..., 2], out[..., 3]
+        boxes = torch.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], dim=-1)
+        return boxes, out[..., 4:5] * out[..., 5:]
+
+    parity_utils.detection_parity(ref, mine, input_hw=(64, 64), rules=YOLOX_RULES, ref_out_fn=ref_out_fn)
+
+
+def test_yolo_nas_pose_s_forward_parity():
+    from super_gradients_tpu.conversion.torch_converter import YOLO_NAS_POSE_RULES
+
+    ref_loader.load_ref_module("super_gradients.training.models.detection_models.csp_darknet53")
+    ref_loader.load_ref_module("super_gradients.training.models.detection_models.yolo_nas.yolo_stages")
+    ref_loader.load_ref_module("super_gradients.training.models.detection_models.yolo_nas.panneck")
+    m = ref_loader.load_ref_module("super_gradients.training.models.pose_estimation_models.yolo_nas_pose.yolo_nas_pose_variants")
+    ref = m.YoloNASPose_S(_hp())
+    mine = model_factory.get("yolo_nas_pose_s")
+    parity_utils.pose_parity(ref, mine, input_hw=(64, 64), rules=YOLO_NAS_POSE_RULES)
