@@ -54,6 +54,30 @@ def build_program(model):
     return jax.jit(predict_program)
 
 
+def flops_per_call(fn, *args):
+    """XLA cost-analysis FLOPs of the compiled program (None if unavailable)."""
+    try:
+        compiled = jax.jit(fn).lower(*args).compile() if not hasattr(fn, "lower") else fn.lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def peak_tflops():
+    """bf16 peak of the attached chip (env-overridable)."""
+    if os.environ.get("BENCH_PEAK_TFLOPS"):
+        return float(os.environ["BENCH_PEAK_TFLOPS"])
+    kind = jax.devices()[0].device_kind.lower()
+    table = {"v5 lite": 197.0, "v5e": 197.0, "v4": 275.0, "v5p": 459.0, "v6": 918.0}
+    for k, v in table.items():
+        if k in kind:
+            return v
+    return 197.0  # default to v5e
+
+
 def measure(fn, batch, iters):
     rng = np.random.RandomState(0)
     host = rng.randint(0, 255, size=(batch, IMAGE, IMAGE, 3), dtype=np.uint8)
@@ -71,6 +95,101 @@ def measure(fn, batch, iters):
     np.asarray(out.num_detections)
     dt = time.perf_counter() - t0
     return batch * iters / dt
+
+
+class _SyntheticCocoDataset:
+    """In-memory COCO-like detection dataset for the training bench: random uint8
+    images + random boxes, run through the REAL yolo_nas mosaic/affine/HSV train
+    transform chain on the host (the pipeline whose cost must hide behind the
+    train step)."""
+
+    def __new__(cls, n, input_dim, max_boxes):
+        from super_gradients_tpu.training.dataloaders import _yolo_nas_train_transforms
+        from super_gradients_tpu.training.datasets import DetectionDataset
+
+        class _DS(DetectionDataset):
+            def _setup(self):
+                rng = np.random.RandomState(0)
+                for _ in range(n):
+                    nb = rng.randint(1, 12)
+                    wh = rng.randint(320, 640, size=2)
+                    xy = rng.rand(nb, 2) * wh * 0.7
+                    sz = rng.rand(nb, 2) * wh * 0.25 + 8
+                    boxes = np.concatenate([xy, xy + sz], axis=1).astype(np.float32)
+                    self._annotations.append({
+                        "image": rng.randint(0, 255, (int(wh[1]), int(wh[0]), 3), dtype=np.uint8),
+                        "boxes_xyxy": boxes,
+                        "labels": rng.randint(0, 80, size=nb).astype(np.int32),
+                    })
+
+        return _DS(transforms=_yolo_nas_train_transforms(input_dim), max_boxes=max_boxes,
+                   all_classes_list=[str(i) for i in range(80)])
+
+
+def train_bench(batch, image, steps, num_workers):
+    """YOLO-NAS-M + PPYoloELoss train-step throughput with the mosaic input
+    pipeline on worker processes. Returns (img/s, loader_wait_pct, flops/step)."""
+    import optax
+
+    from super_gradients_tpu import models
+    from super_gradients_tpu.training.dataloaders import DataLoader
+    from super_gradients_tpu.training.losses import get_loss
+
+    model = models.get(MODEL, num_classes=80, image_size=image)
+    criterion = get_loss("PPYoloELoss", {"num_classes": 80})
+    tx = optax.sgd(1e-4, momentum=0.9)
+    variables = model.variables
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    opt_state = tx.init(params)
+
+    def loss_fn(p, bs, images, targets):
+        out, mut = model.module.apply({"params": p, "batch_stats": bs}, images, train=True, mutable=["batch_stats"])
+        loss, _aux = criterion(out, targets)
+        return loss, mut["batch_stats"]
+
+    @jax.jit
+    def train_step(p, bs, opt, images, targets):
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, bs, images, targets)
+        updates, new_opt = tx.update(grads, opt, p)
+        return optax.apply_updates(p, updates), new_bs, new_opt, loss
+
+    ds = _SyntheticCocoDataset(max(batch * 4, 64), (image, image), 120)
+    loader = DataLoader(ds, batch_size=batch, shuffle=True, num_workers=num_workers, prefetch_factor=4)
+
+    it = iter(loader)
+    first = next(it)
+    imgs = jnp.asarray(first[0], jnp.float32)
+    tgts = jnp.asarray(first[1], jnp.float32)
+    n_flops = flops_per_call(train_step, params, batch_stats, opt_state, imgs, tgts)
+    params, batch_stats, opt_state, loss = train_step(params, batch_stats, opt_state, imgs, tgts)
+    jax.block_until_ready(loss)
+
+    # pure-compute floor: same cached batch, no loader in the loop
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, batch_stats, opt_state, loss = train_step(params, batch_stats, opt_state, imgs, tgts)
+    jax.block_until_ready(loss)
+    compute_s = (time.perf_counter() - t0) / steps
+
+    # end-to-end: batches stream from the mosaic pipeline workers
+    done = 0
+    t0 = time.perf_counter()
+    while done < steps:
+        try:
+            b = next(it)
+        except StopIteration:
+            loader.set_epoch(done)
+            it = iter(loader)
+            b = next(it)
+        params, batch_stats, opt_state, loss = train_step(
+            params, batch_stats, opt_state, jnp.asarray(b[0], jnp.float32), jnp.asarray(b[1], jnp.float32))
+        done += 1
+    jax.block_until_ready(loss)
+    wall_s = (time.perf_counter() - t0) / steps
+    loader.close()
+
+    wait_pct = max(0.0, (wall_s - compute_s) / wall_s * 100.0)
+    return batch / wall_s, wait_pct, n_flops
 
 
 def main():
@@ -91,16 +210,36 @@ def main():
         batch = BATCH
 
     imgs_per_s = measure(fn, batch, ITERS)
-    print(
-        json.dumps(
-            {
-                "metric": f"{MODEL} {IMAGE}px predict images/sec/chip (batch {batch}, fused fwd+decode+NMS)",
-                "value": round(imgs_per_s, 2),
-                "unit": "images/sec",
-                "vs_baseline": round(imgs_per_s / BASELINE, 4),
-            }
-        )
-    )
+
+    result = {
+        "metric": f"{MODEL} {IMAGE}px predict images/sec/chip (batch {batch}, fused fwd+decode+NMS)",
+        "value": round(imgs_per_s, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(imgs_per_s / BASELINE, 4),
+    }
+
+    # MFU: cost-analysis FLOPs × throughput ÷ chip bf16 peak
+    rng = np.random.RandomState(0)
+    probe = jnp.asarray(rng.randint(0, 255, size=(batch, IMAGE, IMAGE, 3), dtype=np.uint8))
+    fl = flops_per_call(fn, probe)
+    if fl:
+        achieved = fl / batch * imgs_per_s / 1e12
+        result["achieved_tflops"] = round(achieved, 1)
+        result["mfu_pct"] = round(achieved / peak_tflops() * 100.0, 1)
+
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        try:
+            tb, tw = int(os.environ.get("BENCH_TRAIN_BATCH", 32)), int(os.environ.get("BENCH_TRAIN_WORKERS", max(2, (os.cpu_count() or 2) - 1)))
+            tsteps = int(os.environ.get("BENCH_TRAIN_STEPS", 10))
+            t_ips, wait_pct, t_fl = train_bench(tb, IMAGE, tsteps, tw)
+            result["train_images_per_s"] = round(t_ips, 2)
+            result["train_loader_wait_pct"] = round(wait_pct, 1)
+            if t_fl:
+                result["train_achieved_tflops"] = round(t_fl / tb * t_ips / 1e12, 1)
+        except Exception as e:
+            print(f"# train bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -88,6 +88,8 @@ def _transform(value: np.ndarray, flax_leaf_shape: Tuple[int, ...], path: Tuple[
                 out = value.transpose(2, 3, 1, 0)
         elif value.ndim == 2:  # Linear [out,in] -> [in,out]
             out = value.T
+            if tuple(flax_leaf_shape) == (1, 1) + out.shape:
+                out = out.reshape((1, 1) + out.shape)  # torch Linear -> flax 1x1 conv
         else:
             out = value
     else:
@@ -409,6 +411,93 @@ REGNET_RULES: Rules = (
 
 def regnet_key_mapper():
     return REGNET_RULES
+
+
+def _mnv2_block_index(m):
+    """MobileNetV2 InvertedResidual conv Sequential indices (mobilenetv2.py:70-93):
+    expand_ratio==1 blocks (only block 0) have no pw-expand, shifting indices."""
+    i, child, leaf = int(m.group(1)), m.group(2), m.group(3)
+    if i == 0:
+        idx = {("depthwise", "conv"): 0, ("depthwise", "bn"): 1,
+               ("project", "conv"): 3, ("project", "bn"): 4}[(child, leaf)]
+    else:
+        idx = {("expand", "conv"): 0, ("expand", "bn"): 1,
+               ("depthwise", "conv"): 3, ("depthwise", "bn"): 4,
+               ("project", "conv"): 6, ("project", "bn"): 7}[(child, leaf)]
+    return f"features.{i + 1}.conv.{idx}"
+
+
+MOBILENET_V2_RULES: Rules = (
+    (r"^block_(\d+)\.(expand|depthwise|project)\.(conv|bn)$", _mnv2_block_index),
+    (r"^stem\.conv$", "features.0.0"),
+    (r"^stem\.bn$", "features.0.1"),
+    (r"^head_conv\.conv$", "features.18.0"),
+    (r"^head_conv\.bn$", "features.18.1"),
+    (r"^classifier$", "classifier.1"),  # Sequential(Dropout, Linear)
+)
+
+
+def mobilenet_v2_key_mapper():
+    return MOBILENET_V2_RULES
+
+
+def _mnv3_block_index(m):
+    """MobileNetV3 InvertedResidual conv Sequential indices (mobilenetv3.py:86-113):
+    expand blocks are [pw,bn,act,dw,bn,SE,act,pwl,bn]; the (only) no-expand block 0
+    is [dw,bn,act,SE,pwl,bn]. Identity placeholders keep SE indices fixed."""
+    i, child, leaf = int(m.group(1)), m.group(2), m.group(3)
+    if i == 0:
+        table = {("depthwise", "conv"): 0, ("depthwise", "bn"): 1,
+                 ("project", "conv"): 4, ("project", "bn"): 5}
+    else:
+        table = {("expand", "conv"): 0, ("expand", "bn"): 1,
+                 ("depthwise", "conv"): 3, ("depthwise", "bn"): 4,
+                 ("project", "conv"): 7, ("project", "bn"): 8}
+    return f"features.{i + 1}.conv.{table[(child, leaf)]}"
+
+
+def _mnv3_se_index(m):
+    i, fc = int(m.group(1)), m.group(2)
+    se_base = 3 if i == 0 else 5
+    return f"features.{i + 1}.conv.{se_base}.fc.{0 if fc == 'fc1' else 2}"
+
+
+MOBILENET_V3_RULES: Rules = (
+    (r"^block_(\d+)\.(expand|depthwise|project)\.(conv|bn)$", _mnv3_block_index),
+    (r"^block_(\d+)\.se\.(fc1|fc2)$", _mnv3_se_index),
+    (r"^stem\.conv$", "features.0.0"),
+    (r"^stem\.bn$", "features.0.1"),
+    (r"^head_conv\.conv$", "conv.0"),
+    (r"^head_conv\.bn$", "conv.1"),
+    (r"^pre_classifier$", "classifier.0"),
+    (r"^classifier$", "classifier.3"),
+)
+
+
+def mobilenet_v3_key_mapper():
+    return MOBILENET_V3_RULES
+
+
+# EfficientNet: flat underscore-prefixed attrs (efficientnet.py:303-512)
+EFFICIENTNET_RULES: Rules = (
+    (r"^stem\.conv$", "_conv_stem"),
+    (r"^stem\.bn$", "_bn0"),
+    (r"^block_(\d+)\.expand\.conv$", r"_blocks.\1._expand_conv"),
+    (r"^block_(\d+)\.expand\.bn$", r"_blocks.\1._bn0"),
+    (r"^block_(\d+)\.depthwise\.conv$", r"_blocks.\1._depthwise_conv"),
+    (r"^block_(\d+)\.depthwise\.bn$", r"_blocks.\1._bn1"),
+    (r"^block_(\d+)\.se\.fc1$", r"_blocks.\1._se_reduce"),
+    (r"^block_(\d+)\.se\.fc2$", r"_blocks.\1._se_expand"),
+    (r"^block_(\d+)\.project\.conv$", r"_blocks.\1._project_conv"),
+    (r"^block_(\d+)\.project\.bn$", r"_blocks.\1._bn2"),
+    (r"^head_conv\.conv$", "_conv_head"),
+    (r"^head_conv\.bn$", "_bn1"),
+    (r"^fc$", "_fc"),
+)
+
+
+def efficientnet_key_mapper():
+    return EFFICIENTNET_RULES
 
 
 def load_torch_weights(

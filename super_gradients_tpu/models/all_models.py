@@ -341,25 +341,32 @@ def _cls_spec(module, nc, input_hw=(224, 224), torch_key_mapper=None) -> ModelSp
 def mobilenet_v2(num_classes=None, arch_params=None, **kw):
     from super_gradients_tpu.models.classification.mobilenet import MobileNetV2
 
+    from super_gradients_tpu.conversion.torch_converter import mobilenet_v2_key_mapper
+
     arch_params = arch_params or {}
     nc = num_classes or 1000
-    return _cls_spec(MobileNetV2(num_classes=nc, width_mult=arch_params.get("width_mult", 1.0)), nc)
+    return _cls_spec(MobileNetV2(num_classes=nc, width_mult=arch_params.get("width_mult", 1.0)), nc,
+                     torch_key_mapper=mobilenet_v2_key_mapper)
 
 
 @register_model("mobilenet_v3_large")
 def mobilenet_v3_large(num_classes=None, arch_params=None, **kw):
     from super_gradients_tpu.models.classification.mobilenet import MobileNetV3
 
+    from super_gradients_tpu.conversion.torch_converter import mobilenet_v3_key_mapper
+
     nc = num_classes or 1000
-    return _cls_spec(MobileNetV3(num_classes=nc, mode="large"), nc)
+    return _cls_spec(MobileNetV3(num_classes=nc, mode="large"), nc, torch_key_mapper=mobilenet_v3_key_mapper)
 
 
 @register_model("mobilenet_v3_small")
 def mobilenet_v3_small(num_classes=None, arch_params=None, **kw):
     from super_gradients_tpu.models.classification.mobilenet import MobileNetV3
 
+    from super_gradients_tpu.conversion.torch_converter import mobilenet_v3_key_mapper
+
     nc = num_classes or 1000
-    return _cls_spec(MobileNetV3(num_classes=nc, mode="small"), nc)
+    return _cls_spec(MobileNetV3(num_classes=nc, mode="small"), nc, torch_key_mapper=mobilenet_v3_key_mapper)
 
 
 @register_model("mobilenet_v1")
@@ -375,7 +382,10 @@ def _efficientnet(variant, num_classes=None, arch_params=None, **kw):
 
     nc = num_classes or 1000
     w, d, res, drop = EFFICIENTNET_PARAMS[variant]
-    return _cls_spec(EfficientNet(num_classes=nc, width_coeff=w, depth_coeff=d, dropout=drop), nc, (res, res))
+    from super_gradients_tpu.conversion.torch_converter import efficientnet_key_mapper
+
+    return _cls_spec(EfficientNet(num_classes=nc, width_coeff=w, depth_coeff=d, dropout=drop), nc, (res, res),
+                     torch_key_mapper=efficientnet_key_mapper)
 
 
 for _v in ["b0", "b1", "b2", "b3", "b4"]:

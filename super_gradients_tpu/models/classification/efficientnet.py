@@ -66,13 +66,13 @@ class MBConv(nn.Module):
         hidden = cin * self.expand_ratio
         y = x
         if self.expand_ratio != 1:
-            y = ConvBNAct(out_channels=hidden, kernel=1, act="silu", bn_momentum=self.bn_momentum, name="expand")(y, train=train)
+            y = ConvBNAct(out_channels=hidden, kernel=1, act="silu", bn_momentum=self.bn_momentum, bn_eps=1e-3, padding="same", name="expand")(y, train=train)
         y = ConvBNAct(
             out_channels=hidden, kernel=self.kernel, stride=self.stride, groups=hidden, act="silu",
-            bn_momentum=self.bn_momentum, name="depthwise",
+            bn_momentum=self.bn_momentum, bn_eps=1e-3, padding="same", name="depthwise",
         )(y, train=train)
         y = SEBlock(max(1, cin // 4), act="silu", gate="sigmoid", name="se")(y)
-        y = ConvBNAct(out_channels=self.out_channels, kernel=1, act="identity", bn_momentum=self.bn_momentum, name="project")(y, train=train)
+        y = ConvBNAct(out_channels=self.out_channels, kernel=1, act="identity", bn_momentum=self.bn_momentum, bn_eps=1e-3, padding="same", name="project")(y, train=train)
         if self.stride == 1 and cin == self.out_channels:
             y = y + x
         return y
@@ -86,14 +86,14 @@ class EfficientNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ConvBNAct(out_channels=_round_filters(32, self.width_coeff), kernel=3, stride=2, act="silu", bn_momentum=0.01, name="stem")(x, train=train)
+        x = ConvBNAct(out_channels=_round_filters(32, self.width_coeff), kernel=3, stride=2, act="silu", bn_momentum=0.01, bn_eps=1e-3, padding="same", name="stem")(x, train=train)
         i = 0
         for expand, c, n, s, k in _BASE_CFG:
             cc = _round_filters(c, self.width_coeff)
             for j in range(_round_repeats(n, self.depth_coeff)):
                 x = MBConv(cc, s if j == 0 else 1, expand, k, name=f"block_{i}")(x, train=train)
                 i += 1
-        x = ConvBNAct(out_channels=_round_filters(1280, self.width_coeff), kernel=1, act="silu", bn_momentum=0.01, name="head_conv")(x, train=train)
+        x = ConvBNAct(out_channels=_round_filters(1280, self.width_coeff), kernel=1, act="silu", bn_momentum=0.01, bn_eps=1e-3, padding="same", name="head_conv")(x, train=train)
         x = jnp.mean(x, axis=(1, 2))
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)

@@ -33,17 +33,25 @@ class InvertedResidual(nn.Module):
     se_ratio: Optional[float] = None
     se_act: str = "relu"
     se_gate: str = "hardsigmoid"
+    # MobileNetV3 expand blocks apply SE BETWEEN the depthwise BN and its
+    # activation (ref mobilenetv3.py:98-113: conv, bn, SE, act); no-expand blocks
+    # and MobileNetV2 activate first (ref :86-97)
+    se_before_act: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         cin = x.shape[-1]
         hidden = _make_divisible(cin * self.expand_ratio) if self.expand_ratio != 1 else cin
         y = x
-        if self.expand_ratio != 1:
+        expanded = self.expand_ratio != 1
+        if expanded:
             y = ConvBNAct(out_channels=hidden, kernel=1, act=self.act, name="expand")(y, train=train)
-        y = ConvBNAct(out_channels=hidden, kernel=self.kernel, stride=self.stride, groups=hidden, act=self.act, name="depthwise")(y, train=train)
+        dw_act = "identity" if (self.se_before_act and expanded) else self.act
+        y = ConvBNAct(out_channels=hidden, kernel=self.kernel, stride=self.stride, groups=hidden, act=dw_act, name="depthwise")(y, train=train)
         if self.se_ratio:
             y = SEBlock(_make_divisible(hidden * self.se_ratio), act=self.se_act, gate=self.se_gate, name="se")(y)
+        if self.se_before_act and expanded:
+            y = get_activation(self.act)(y)
         y = ConvBNAct(out_channels=self.out_channels, kernel=1, act="identity", name="project")(y, train=train)
         if self.stride == 1 and cin == self.out_channels:
             y = y + x
@@ -127,7 +135,7 @@ class MobileNetV3(nn.Module):
             cc = _make_divisible(c * self.width_mult)
             x = InvertedResidual(
                 cc, s, _make_divisible(exp * self.width_mult) / cin, kernel=k, act=act,
-                se_ratio=0.25 if se else None, name=f"block_{i}",
+                se_ratio=0.25 if se else None, se_before_act=True, name=f"block_{i}",
             )(x, train=train)
         last_exp = _make_divisible((960 if self.mode == "large" else 576) * self.width_mult)
         x = ConvBNAct(out_channels=last_exp, kernel=1, act="hardswish", name="head_conv")(x, train=train)

@@ -73,7 +73,7 @@ class ConvBNAct(nn.Module):
     stride: int = 1
     groups: int = 1
     dilation: int = 1
-    padding: Optional[int] = None
+    padding: Any = None  # int | None (torch autopad) | "same" (TF/XLA SAME)
     act: Any = "relu"
     use_bn: bool = True
     bias: bool = False
@@ -82,12 +82,18 @@ class ConvBNAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        p = autopad(self.kernel, self.padding)
+        if self.padding == "same":
+            # TF/XLA SAME (asymmetric for even overhang) — torch Conv2dSamePadding
+            # analogue used by EfficientNet (ref efficientnet.py:104-163)
+            pad = "SAME"
+        else:
+            p = autopad(self.kernel, self.padding)
+            pad = ((p, p), (p, p))
         x = nn.Conv(
             self.out_channels,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding=((p, p), (p, p)),
+            padding=pad,
             feature_group_count=self.groups,
             kernel_dilation=(self.dilation, self.dilation),
             use_bias=self.bias,

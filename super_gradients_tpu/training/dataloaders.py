@@ -13,7 +13,11 @@ padding — replacing the reference's ragged ``[N, 6]`` format (SURVEY §7).
 
 from __future__ import annotations
 
+import atexit
 import math
+import os
+import queue as queue_mod
+import threading
 from typing import Any, Callable, Dict, Iterator, Optional, Sequence, Tuple
 
 import numpy as np
@@ -24,8 +28,130 @@ from super_gradients_tpu.common.registry import DATALOADERS, register_dataloader
 logger = get_logger(__name__)
 
 
+def _worker_loop(dataset, collate_fn, index_q, result_q):
+    """Worker process body: pull (batch_id, indices), push (batch_id, batch).
+
+    Loading + transforms (mosaic/mixup/affine/decode) run here, off the main
+    process — the TPU-feed analogue of torch DataLoader workers
+    (ref dataloaders.py:56-227)."""
+    while True:
+        item = index_q.get()
+        if item is None:
+            return
+        batch_id, indices = item
+        try:
+            samples = [dataset[int(j)] for j in indices]
+            result_q.put((batch_id, collate_fn(samples), None))
+        except BaseException as e:  # surface worker crashes to the main process
+            result_q.put((batch_id, None, f"{type(e).__name__}: {e}"))
+
+
+class _WorkerPool:
+    """Persistent fork-based worker pool with bounded in-flight batches.
+
+    Workers inherit the dataset via fork (no dataset pickling); batches return
+    through an mp queue. The pool lives across epochs so per-epoch startup cost
+    is zero after the first use."""
+
+    def __init__(self, dataset, collate_fn, num_workers: int, prefetch_factor: int):
+        import multiprocessing as mp
+
+        method = os.environ.get("SG_WORKER_START_METHOD", "fork")
+        ctx = mp.get_context(method)
+        self.num_workers = num_workers
+        self.max_inflight = max(2, num_workers * prefetch_factor)
+        self.index_q = ctx.Queue()
+        self.result_q = ctx.Queue()
+        self.workers = [
+            ctx.Process(target=_worker_loop, args=(dataset, collate_fn, self.index_q, self.result_q), daemon=True)
+            for _ in range(num_workers)
+        ]
+        for w in self.workers:
+            w.start()
+        self._closed = False
+        atexit.register(self.close)
+
+    def close(self):
+        if self._closed:
+            return
+        self._closed = True
+        try:
+            for _ in self.workers:
+                self.index_q.put(None)
+            for w in self.workers:
+                w.join(timeout=2)
+                if w.is_alive():
+                    w.terminate()
+        except Exception:
+            pass
+
+    def run_epoch(self, idx: np.ndarray, batch_size: int, n_batches: int) -> Iterator:
+        """Yield collated batches IN ORDER with up to max_inflight outstanding."""
+        submitted = 0
+        pending: Dict[int, Any] = {}
+        next_out = 0
+        while submitted < n_batches and submitted < self.max_inflight:
+            chunk = idx[submitted * batch_size : (submitted + 1) * batch_size]
+            self.index_q.put((submitted, chunk))
+            submitted += 1
+        while next_out < n_batches:
+            while next_out not in pending:
+                batch_id, batch, err = self.result_q.get()
+                if err is not None:
+                    self.close()
+                    raise RuntimeError(f"DataLoader worker failed on batch {batch_id}: {err}")
+                pending[batch_id] = batch
+            batch = pending.pop(next_out)
+            next_out += 1
+            if submitted < n_batches:
+                chunk = idx[submitted * batch_size : (submitted + 1) * batch_size]
+                self.index_q.put((submitted, chunk))
+                submitted += 1
+            yield batch
+
+
+class _PrefetchThread:
+    """Single background thread running load+collate ahead of the consumer.
+
+    Used for num_workers>0 when fork is unavailable, or as a cheap overlap layer
+    (the producing thread spends most of its time in numpy/cv2/PIL which release
+    the GIL)."""
+
+    def __init__(self, make_iter: Callable[[], Iterator], depth: int):
+        self.make_iter = make_iter
+        self.depth = depth
+
+    def __iter__(self):
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.depth)
+        SENTINEL = object()
+
+        def produce():
+            try:
+                for item in self.make_iter():
+                    q.put(item)
+                q.put(SENTINEL)
+            except BaseException as e:
+                q.put(e)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+
 class DataLoader:
-    """Minimal epoch-reshuffling loader over an indexable dataset."""
+    """Epoch-reshuffling loader with optional worker processes + prefetch.
+
+    ``num_workers=0`` loads inline (deterministic, test-friendly).
+    ``num_workers>0`` forks persistent worker processes that run dataset access
+    and collate off the main process, keeping ``prefetch_factor`` batches per
+    worker in flight — the torch-DataLoader analogue (ref dataloaders.py:56-227)
+    needed so mosaic/mixup host transforms don't starve the TPU (SURVEY §7)."""
 
     def __init__(
         self,
@@ -37,6 +163,8 @@ class DataLoader:
         seed: int = 0,
         min_samples: Optional[int] = None,
         sampler=None,
+        num_workers: int = 0,
+        prefetch_factor: int = 2,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -45,6 +173,9 @@ class DataLoader:
         self.collate_fn = collate_fn or default_collate
         self.seed = seed
         self.sampler = sampler  # overrides index generation (training/samplers.py)
+        self.num_workers = int(num_workers)
+        self.prefetch_factor = int(prefetch_factor)
+        self._pool: Optional[_WorkerPool] = None
         self._epoch = 0
         # min_samples padding (ref dataloaders.py:165-227): repeat indices so tiny
         # datasets still fill every batch
@@ -64,18 +195,40 @@ class DataLoader:
         n = len(self.sampler) if self.sampler is not None else len(self._indices)
         return n // self.batch_size if self.drop_last else math.ceil(n / self.batch_size)
 
-    def __iter__(self) -> Iterator:
+    def close(self):
+        if self._pool is not None:
+            self._pool.close()
+            self._pool = None
+
+    def _epoch_indices(self) -> np.ndarray:
         if self.sampler is not None:
-            idx = np.asarray(list(iter(self.sampler)))
-        else:
-            idx = self._indices.copy()
-            if self.shuffle:
-                rng = np.random.RandomState(self.seed + self._epoch)
-                rng.shuffle(idx)
+            return np.asarray(list(iter(self.sampler)))
+        idx = self._indices.copy()
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            rng.shuffle(idx)
+        return idx
+
+    def _iter_inline(self, idx: np.ndarray) -> Iterator:
         for i in range(len(self)):
             chunk = idx[i * self.batch_size : (i + 1) * self.batch_size]
             samples = [self.dataset[int(j)] for j in chunk]
             yield self.collate_fn(samples)
+
+    def __iter__(self) -> Iterator:
+        idx = self._epoch_indices()
+        if self.num_workers <= 0:
+            yield from self._iter_inline(idx)
+            return
+        if self._pool is None:
+            try:
+                self._pool = _WorkerPool(self.dataset, self.collate_fn, self.num_workers, self.prefetch_factor)
+            except Exception as e:  # fork unavailable (or unpicklable ctx) → threaded overlap
+                logger.warning(f"worker pool unavailable ({e}); using background-thread prefetch")
+                self.num_workers = 0
+                yield from _PrefetchThread(lambda: self._iter_inline(idx), depth=self.prefetch_factor * 2)
+                return
+        yield from self._pool.run_epoch(idx, self.batch_size, len(self))
 
 
 def default_collate(samples: Sequence[Tuple]) -> Tuple:
@@ -214,7 +367,13 @@ def get(name: Optional[str] = None, dataset=None, dataset_params: Optional[Dict]
     if name is not None:
         if name not in DATALOADERS:
             raise KeyError(f"Unknown dataloader `{name}`; registered: {sorted(DATALOADERS)}")
-        return DATALOADERS[name](**dataset_params, **dataloader_params)
+        loader = DATALOADERS[name](**dataset_params, **dataloader_params)
+        # worker/prefetch knobs apply to every named loader (ref honors
+        # dataloader_params.num_workers on all of them, dataloaders.py:56-227)
+        for k in ("num_workers", "prefetch_factor"):
+            if k in dataloader_params and isinstance(loader, DataLoader):
+                setattr(loader, k, int(dataloader_params[k]))
+        return loader
     if dataset is None:
         raise ValueError("Either `name` or `dataset` must be provided")
     return DataLoader(dataset, **dataloader_params)

@@ -401,11 +401,24 @@ class Trainer:
                 last_metrics = {}
                 train_mstates = train_metrics.init()
                 py_step = int(state.step)  # host-side step counter — never read state.step per batch
-                for batch_idx, batch in enumerate(train_loader):
+
+                def _device_prefetched(loader):
+                    """Double-buffer host→device: the next batch's (async) device_put
+                    is issued while the current step computes, so H2D overlaps the
+                    train step instead of serializing before it."""
+                    from collections import deque
+
+                    buf = deque()
+                    for b in loader:
+                        buf.append((put_batch(b[0]), put_batch(b[1]), b))
+                        if len(buf) >= 2:
+                            yield buf.popleft()
+                    while buf:
+                        yield buf.popleft()
+
+                for batch_idx, (inputs, targets, batch) in enumerate(_device_prefetched(train_loader)):
                     if max_train_batches and batch_idx >= max_train_batches:
                         break
-                    inputs = put_batch(batch[0])
-                    targets = put_batch(batch[1])
                     context.update_context(batch_idx=batch_idx, step=py_step, train_batch=batch)
                     handler.on_train_batch_start(context)
                     train_dev = train_metrics.device_states(train_mstates)
@@ -671,7 +684,10 @@ class Trainer:
         repl_sharding = replicated_sharding(mesh)
         mesh_batch_axis = int(mesh.shape.get("batch", 1)) if mesh is not None else 1
         mstates = metrics.init()
-        loss_sum, count = 0.0, 0
+        # loss stays on device across the loop; ONE host sync at the end
+        # (the per-batch float(loss) pattern serializes dispatch — same fix as the
+        # train loop's train_logging_frequency batching)
+        loss_sum, count = jnp.zeros(()), 0
         for batch in data_loader:
             a = jnp.asarray(batch[0])
             sh = data_sharding if a.shape[0] % mesh_batch_axis == 0 else repl_sharding
@@ -682,14 +698,14 @@ class Trainer:
             mstates = metrics.merge_device_states(mstates, new_dev)
             if metrics.has_host_metrics():
                 mstates = metrics.update_host(mstates, jax.device_get(host_aux), np.asarray(batch[1]))
-            loss_sum += float(loss)
+            loss_sum = loss_sum + loss
             count += 1
         if count == 0:
             logger.warning("evaluate(): data loader yielded 0 batches (dataset smaller than "
                            "batch_size with drop_last?) — metrics are empty")
         results = metrics.compute(mstates)
         if criterion is not None:
-            results["Loss"] = loss_sum / max(count, 1)
+            results["Loss"] = float(loss_sum) / max(count, 1)
         return results
 
     def test(self, model, test_loader, test_metrics_list=None, loss=None) -> Dict[str, float]:

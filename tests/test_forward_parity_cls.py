@@ -55,6 +55,33 @@ def test_regnetY200_forward_parity():
     parity_utils.classification_parity(ref, mine, input_hw=(64, 64), rules=REGNET_RULES)
 
 
+def test_mobilenet_v2_forward_parity():
+    from super_gradients_tpu.conversion.torch_converter import MOBILENET_V2_RULES
+
+    m = ref_loader.load_ref_module("super_gradients.training.models.classification_models.mobilenetv2")
+    ref = m.MobileNetV2Base(_hp(num_classes=7))
+    mine = model_factory.get("mobilenet_v2", num_classes=7)
+    parity_utils.classification_parity(ref, mine, input_hw=(64, 64), rules=MOBILENET_V2_RULES)
+
+
+def test_mobilenet_v3_large_forward_parity():
+    from super_gradients_tpu.conversion.torch_converter import MOBILENET_V3_RULES
+
+    m = ref_loader.load_ref_module("super_gradients.training.models.classification_models.mobilenetv3")
+    ref = m.mobilenetv3_large(_hp(num_classes=7))
+    mine = model_factory.get("mobilenet_v3_large", num_classes=7)
+    parity_utils.classification_parity(ref, mine, input_hw=(64, 64), rules=MOBILENET_V3_RULES)
+
+
+def test_efficientnet_b0_forward_parity():
+    from super_gradients_tpu.conversion.torch_converter import EFFICIENTNET_RULES
+
+    m = ref_loader.load_ref_module("super_gradients.training.models.classification_models.efficientnet")
+    ref = m.EfficientNetB0(_hp(num_classes=7))
+    mine = model_factory.get("efficientnet_b0", num_classes=7)
+    parity_utils.classification_parity(ref, mine, input_hw=(64, 64), rules=EFFICIENTNET_RULES)
+
+
 def test_vit_base_forward_parity():
     from super_gradients_tpu.conversion.torch_converter import VIT_RULES
 
