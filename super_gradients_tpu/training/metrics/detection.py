@@ -133,12 +133,22 @@ def compute_ap(
     pred_cls: np.ndarray,
     n_gt_per_class: np.ndarray,
     keep: Optional[np.ndarray] = None,
+    score_threshold: float = 0.1,
 ) -> Tuple:
-    """Per-class AP with 101-point interpolation (ref compute_detection_metrics :1361).
+    """Per-class AP with 101-point interpolation — number-for-number the
+    reference's ``compute_detection_metrics_per_cls`` (detection_utils.py:1450-1600):
+
+    - precision envelope (reversed cummax) BEFORE both reporting and AP sampling,
+    - reported precision/recall are the rolling values at the last prediction
+      with score >= ``score_threshold`` (0 when none is above it),
+    - AP = mean of envelope precision sampled at 101 recall points
+      (0 beyond max recall).
 
     tp: [N, T]; conf: [N]; pred_cls: [N]; n_gt_per_class: [C]; keep: [N, T]
-    (crowd-excluded predictions are False and counted as neither TP nor FP).
-    Returns (ap [C, T], precision [C, T], recall [C, T], f1 [C, T], classes_with_gt mask [C]).
+    (crowd-excluded predictions are False and counted as neither TP nor FP —
+    equivalent to the reference's preds_to_ignore rows, which contribute to
+    neither cumsum).
+    Returns (ap [C, T], precision [C, T], recall [C, T], f1 [C, T], classes_with_gt [C]).
     """
     num_classes = len(n_gt_per_class)
     t = tp.shape[1] if tp.ndim == 2 else 1
@@ -148,32 +158,34 @@ def compute_ap(
     precision = np.zeros((num_classes, t))
     recall = np.zeros((num_classes, t))
 
-    order = np.argsort(-conf)
+    order = np.argsort(-conf, kind="stable")
     tp, conf, pred_cls, keep = tp[order], conf[order], pred_cls[order], keep[order]
     recall_points = np.linspace(0, 1, 101)
 
     for c in range(num_classes):
         mask = pred_cls == c
         n_gt = n_gt_per_class[c]
-        n_p = int(mask.sum())
-        if n_p == 0 or n_gt == 0:
+        if n_gt == 0 or not mask.any():
             continue
         for ti in range(t):
             mk = mask & keep[:, ti]
             tpc = tp[mk, ti].cumsum()
-            fpc = (~tp[mk, ti]).cumsum()
             if len(tpc) == 0:
                 continue
-            rec = tpc / (n_gt + 1e-16)
-            prec = tpc / (tpc + fpc)
-            precision[c, ti] = prec[-1]
-            recall[c, ti] = rec[-1]
-            # COCO 101-point AP: mean of the precision envelope sampled at the
-            # first rank where recall >= r (0 where recall never reaches r)
+            fpc = (~tp[mk, ti]).cumsum()
+            confc = conf[mk]
+            rec = tpc / n_gt
+            prec = tpc / (tpc + fpc + np.finfo(np.float64).eps)
             env = np.flip(np.maximum.accumulate(np.flip(prec)))
+            # reported P/R at the score threshold (ref :1528-1537)
+            idx = np.searchsorted(-confc, -score_threshold, side="right")
+            if idx > 0:
+                precision[c, ti] = env[idx - 1]
+                recall[c, ti] = rec[idx - 1]
+            # AP (ref :1560-1580): envelope padded with one trailing 0
+            env_pad = np.concatenate([env, [0.0]])
             inds = np.searchsorted(rec, recall_points, side="left")
-            valid = inds < len(rec)
-            ap[c, ti] = env[inds[valid]].sum() / len(recall_points)
+            ap[c, ti] = env_pad[inds].mean()
     f1 = 2 * precision * recall / (precision + recall + 1e-16)
     has_gt = n_gt_per_class > 0
     return ap, precision, recall, f1, has_gt
@@ -191,36 +203,48 @@ def best_score_threshold(
 def best_score_thresholds(
     tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray, n_gt_per_class: np.ndarray, keep: Optional[np.ndarray] = None
 ) -> Tuple[float, float, dict]:
-    """Global AND per-class best-F1 score thresholds (ref detection_metrics.py:88 +
-    scripts/find_detection_score_threshold.py). Returns
+    """Global AND per-class best-F1 score thresholds, exactly the reference's
+    sweep (detection_utils.py:1540-1560 + :1441-1447): for each class, the
+    ENVELOPE precision / rolling recall are sampled at 101 score thresholds and
+    F1 is averaged over ALL IoU thresholds; the global threshold maximizes the
+    class-mean of that curve. Returns
     (global_threshold, global_best_f1, {class_id: per_class_threshold})."""
     if len(conf) == 0:
         return 0.0, 0.0, {}
+    t = tp.shape[1] if tp.ndim == 2 else 1
     if keep is None:
         keep = np.ones_like(tp, dtype=bool)
     grid = np.linspace(0, 1, 101)
-    order = np.argsort(-conf)
-    tp0, conf_s, cls_s, keep0 = tp[order, 0], conf[order], pred_cls[order], keep[order, 0]
-    f1s = np.zeros((len(grid),))
-    per_class: dict = {}
+    order = np.argsort(-conf, kind="stable")
+    tp, conf_s, cls_s, keep = tp[order], conf[order], pred_cls[order], keep[order]
     classes = [c for c in range(len(n_gt_per_class)) if n_gt_per_class[c] > 0]
     if not classes:
         return 0.0, 0.0, {}
+    f1s = np.zeros((len(grid),))
+    per_class: dict = {}
     for c in classes:
-        mk = (cls_s == c) & keep0
-        tpc = tp0[mk].cumsum()
-        confc = conf_s[mk]
+        mask = cls_s == c
         n_gt = n_gt_per_class[c]
-        if len(tpc) == 0:
-            continue
-        # number of preds with conf >= s  (confc is descending)
-        counts = len(confc) - np.searchsorted(-confc, -grid, side="left")
-        tp_at = np.where(counts > 0, tpc[np.maximum(counts - 1, 0)], 0.0)
-        prec = np.where(counts > 0, tp_at / np.maximum(counts, 1), 0.0)
-        rec = tp_at / (n_gt + 1e-16)
-        f1c = 2 * prec * rec / (prec + rec + 1e-16)
-        per_class[int(c)] = float(grid[int(np.argmax(f1c))])
-        f1s += f1c
+        f1c = np.zeros((len(grid), t))
+        for ti in range(t):
+            mk = mask & keep[:, ti]
+            tpc = tp[mk, ti].cumsum()
+            if len(tpc) == 0:
+                continue
+            fpc = (~tp[mk, ti]).cumsum()
+            confc = conf_s[mk]
+            rec = tpc / n_gt
+            prec = tpc / (tpc + fpc + np.finfo(np.float64).eps)
+            env = np.flip(np.maximum.accumulate(np.flip(prec)))
+            # index i with preds_scores[i-1] >= s > preds_scores[i]; 0 → no pred above s
+            counts = np.searchsorted(-confc, -grid, side="right")
+            rec_pad = np.concatenate([[0.0], rec])
+            env_pad = np.concatenate([[0.0], env])
+            r_at, p_at = rec_pad[counts], env_pad[counts]
+            f1c[:, ti] = 2 * r_at * p_at / (r_at + p_at + 1e-16)
+        f1c_mean = f1c.mean(axis=1)  # over IoU thresholds (ref :1558)
+        per_class[int(c)] = float(grid[int(np.argmax(f1c_mean))])
+        f1s += f1c_mean
     f1s /= len(classes)
     bi = int(np.argmax(f1s))
     return float(grid[bi]), float(f1s[bi]), per_class
@@ -243,6 +267,7 @@ class DetectionMetrics(Metric):
         class_agnostic_nms: bool = False,
         multi_label_per_box: bool = True,
         nms_mode: str = "exact",
+        score_thres: float = 0.1,  # metric-reporting threshold for P/R/F1 (ref DetectionMetrics score_thres)
         include_classwise_ap: bool = False,
         class_names: Optional[Sequence[str]] = None,
         calc_best_score_thresholds: bool = True,
@@ -257,6 +282,7 @@ class DetectionMetrics(Metric):
         self.class_agnostic_nms = class_agnostic_nms
         self.multi_label_per_box = multi_label_per_box
         self.nms_mode = nms_mode
+        self.score_thres = score_thres
         self.include_classwise_ap = include_classwise_ap
         self.class_names = list(class_names) if class_names else None
         self.calc_best_score_thresholds = calc_best_score_thresholds
@@ -360,7 +386,7 @@ class DetectionMetrics(Metric):
         conf = np.concatenate(state["conf"])
         cls = np.concatenate(state["cls"])
         keep = np.concatenate(state["keep"]) if state.get("keep") else None
-        ap, precision, recall, f1, has_gt = compute_ap(tp, conf, cls, state["n_gt"], keep)
+        ap, precision, recall, f1, has_gt = compute_ap(tp, conf, cls, state["n_gt"], keep, score_threshold=self.score_thres)
         if not has_gt.any():
             return empty
         out = {
