@@ -506,8 +506,14 @@ def load_torch_weights(
     rules: Optional[Rules] = None,
     strict: bool = True,
     prefer_ema: bool = True,
+    only_subtree: Optional[str] = None,
 ):
-    """Load a reference ``.pth`` checkpoint file into an SgModel."""
+    """Load a reference ``.pth`` checkpoint file into an SgModel.
+
+    ``only_subtree="backbone"`` grafts just that top-level module subtree
+    (ref ``checkpoint_params.load_backbone``, model_factory.py:192-256) and leaves
+    everything else at its initialized values.
+    """
     import torch
 
     ckpt = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
@@ -520,6 +526,14 @@ def load_torch_weights(
     if rules is None:
         mapper = getattr(model, "torch_key_mapper", None)
         rules = mapper() if callable(mapper) else ()
-    variables = convert_state_dict(sd, model.variables, rules=rules, strict=strict)
+    variables = convert_state_dict(sd, model.variables, rules=rules,
+                                   strict=False if only_subtree else strict)
+    if only_subtree:
+        merged = {}
+        for col, tree in model.variables.items():
+            merged[col] = dict(tree)
+            if only_subtree in variables.get(col, {}):
+                merged[col][only_subtree] = variables[col][only_subtree]
+        variables = merged
     model.update_variables(variables)
     return model

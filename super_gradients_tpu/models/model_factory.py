@@ -76,6 +76,8 @@ def get(
     pretrained_weights: Optional[str] = None,
     seed: int = 0,
     checkpoint_num_classes: Optional[int] = None,
+    load_backbone: bool = False,
+    strict_load=None,
     **kwargs,
 ) -> SgModel:
     """Instantiate a model from the zoo (ref ``models.get``, model_factory.py:192).
@@ -143,11 +145,15 @@ def get(
             from super_gradients_tpu.conversion.torch_converter import load_torch_weights
 
             rules = spec.torch_key_mapper() if spec.torch_key_mapper else ()
-            load_torch_weights(model, checkpoint_path, rules=rules)
+            load_torch_weights(
+                model, checkpoint_path, rules=rules,
+                strict=(strict_load if strict_load is not None else not load_backbone),
+                only_subtree="backbone" if load_backbone else None,
+            )
         else:
             from super_gradients_tpu.training.checkpoints import load_checkpoint_into_model
 
-            load_checkpoint_into_model(model, checkpoint_path)
+            load_checkpoint_into_model(model, checkpoint_path, only_subtree="backbone" if load_backbone else None)
     return model
 
 

@@ -60,23 +60,33 @@ def checkpoint_exists(ckpt_dir: str, name: str) -> bool:
     return os.path.isdir(os.path.join(ckpt_dir, name))
 
 
-def load_checkpoint_into_model(model, checkpoint_path: str):
-    """Load an orbax checkpoint dir (saved variables) into an SgModel."""
+def load_checkpoint_into_model(model, checkpoint_path: str, only_subtree: str = None):
+    """Load an orbax checkpoint dir (saved variables) into an SgModel.
+
+    ``only_subtree="backbone"`` grafts just that top-level module subtree
+    (ref checkpoint_params.load_backbone)."""
     if os.path.basename(checkpoint_path) == "":
         checkpoint_path = checkpoint_path.rstrip("/")
     ckpt_dir, name = os.path.split(os.path.abspath(checkpoint_path))
     restored = load_checkpoint(ckpt_dir, name)
     # accept either raw variables or a full train-state dict
     if "variables" in restored:
-        model.update_variables(restored["variables"])
+        variables = restored["variables"]
     elif "params" in restored:
         variables = {"params": restored["params"]}
         if "batch_stats" in restored and restored["batch_stats"]:
             variables["batch_stats"] = restored["batch_stats"]
-        model.update_variables(variables)
     else:
-        model.update_variables(restored)
-    logger.info(f"Loaded checkpoint from {checkpoint_path}")
+        variables = restored
+    if only_subtree:
+        merged = {}
+        for col, tree in model.variables.items():
+            merged[col] = dict(tree)
+            if only_subtree in variables.get(col, {}):
+                merged[col][only_subtree] = variables[col][only_subtree]
+        variables = merged
+    model.update_variables(variables)
+    logger.info(f"Loaded checkpoint from {checkpoint_path}" + (f" (subtree {only_subtree})" if only_subtree else ""))
     return model
 
 

@@ -57,9 +57,10 @@ class KDTrainer(Trainer):
         # zeroes grads, it does not stop weight decay (ref: teacher is never in the
         # optimizer's param groups, kd_trainer.py)
         tp.setdefault("frozen_param_patterns", ["teacher"])
-        # the metric path sees KDOutput; unwrap student logits for metrics via a
-        # wrapper loss already handles loss; metrics: use student logits
-        tp.setdefault("valid_metrics_list", [])
+        # the Trainer unwraps KDOutput.student_output for metrics (ref KDTrainer
+        # validates the student) — default to student Accuracy instead of blind runs
+        tp.setdefault("valid_metrics_list", ["Accuracy"])
+        tp.setdefault("metric_to_watch", "Accuracy")
 
         trained = super().train(kd_model, tp, train_loader, valid_loader, **kwargs)
 
@@ -69,3 +70,69 @@ class KDTrainer(Trainer):
             student_vars["batch_stats"] = trained.batch_stats["student"]
         student.update_variables(jax.device_get(student_vars))
         return student
+
+    @classmethod
+    def train_from_config(cls, cfg: Dict):
+        """KD recipe entry (ref kd_trainer.py:36-355): build student + teacher from
+        their own architecture/arch_params/checkpoint_params sections, then
+        distill. Accepts both the reference keying (student_architecture /
+        teacher_architecture + *_checkpoint_params) and the kd_module recipe
+        style (architecture: kd_module with arch_params.student/teacher +
+        checkpoint_params.teacher_pretrained_weights)."""
+        from super_gradients_tpu import models
+        from super_gradients_tpu.training import dataloaders
+
+        cfg = cls._trigger_cfg_modifying_callbacks(dict(cfg))
+        ap = cfg.get("arch_params") or {}
+        student_name = cfg.get("student_architecture") or ap.get("student") or ap.get("student_architecture")
+        teacher_name = cfg.get("teacher_architecture") or ap.get("teacher") or ap.get("teacher_architecture")
+        if not student_name or not teacher_name:
+            raise ValueError("KD recipe needs student_architecture and teacher_architecture "
+                             "(or arch_params.student/teacher)")
+        nc = cfg.get("num_classes") or ap.get("num_classes")
+        cp = cfg.get("checkpoint_params") or {}
+        scp = cfg.get("student_checkpoint_params") or {}
+        tcp = dict(cfg.get("teacher_checkpoint_params") or {})
+        # kd_module-style keys fold into the teacher section
+        tcp.setdefault("pretrained_weights", cp.get("teacher_pretrained_weights"))
+        tcp.setdefault("checkpoint_path", cp.get("teacher_checkpoint_path"))
+
+        student = models.get(
+            student_name, num_classes=nc,
+            arch_params=cfg.get("student_arch_params") or ap.get("student_arch_params"),
+            pretrained_weights=scp.get("pretrained_weights") or cp.get("pretrained_weights"),
+            checkpoint_path=scp.get("checkpoint_path"),
+            load_backbone=bool(scp.get("load_backbone")),
+            strict_load=scp.get("strict_load"),
+        )
+        teacher = models.get(
+            teacher_name, num_classes=nc,
+            arch_params=cfg.get("teacher_arch_params") or ap.get("teacher_arch_params"),
+            pretrained_weights=tcp.get("pretrained_weights"),
+            checkpoint_path=tcp.get("checkpoint_path"),
+            load_backbone=bool(tcp.get("load_backbone")),
+            strict_load=tcp.get("strict_load"),
+        )
+        if not tcp.get("pretrained_weights") and not tcp.get("checkpoint_path"):
+            raise ValueError("KD teacher has no weights source (teacher_pretrained_weights / "
+                             "teacher_checkpoint_path) — distilling from a random teacher "
+                             "is almost certainly a recipe mistake (ref kd_trainer checks)")
+
+        trainer = cls(experiment_name=cfg.get("experiment_name", "kd_experiment"), ckpt_root_dir=cfg.get("ckpt_root_dir"))
+        trainer._recipe_cfg = cfg
+        train_loader = dataloaders.get(
+            cfg.get("train_dataloader"),
+            dataset_params=(cfg.get("dataset_params") or {}).get("train_dataset_params"),
+            dataloader_params=(cfg.get("dataset_params") or {}).get("train_dataloader_params"),
+        )
+        valid_loader = dataloaders.get(
+            cfg.get("val_dataloader"),
+            dataset_params=(cfg.get("dataset_params") or {}).get("val_dataset_params"),
+            dataloader_params=(cfg.get("dataset_params") or {}).get("val_dataloader_params"),
+        )
+        trained_student = trainer.train(
+            training_params=cfg.get("training_hyperparams") or {},
+            train_loader=train_loader, valid_loader=valid_loader,
+            student=student, teacher=teacher,
+        )
+        return trained_student, trainer

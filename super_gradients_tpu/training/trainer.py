@@ -44,6 +44,12 @@ from super_gradients_tpu.training.train_state import TrainState
 logger = get_logger(__name__)
 
 
+def _metrics_view(out):
+    """Metrics evaluate the STUDENT for KD composite outputs (the reference's
+    KDTrainer validates the student net, kd_trainer.py:36-355)."""
+    return out.student_output if hasattr(out, "student_output") else out
+
+
 def _default_training_params() -> Dict:
     return load_recipe("training_hyperparams/default_train_params.yaml")
 
@@ -254,7 +260,7 @@ class Trainer:
             # train-phase metrics on the live outputs (ref sg_trainer.py:519-528,
             # 1977-1984 MetricsUpdateCallback at TRAIN_BATCH_END)
             if has_train_metrics:
-                out_sg = jax.lax.stop_gradient(out)
+                out_sg = _metrics_view(jax.lax.stop_gradient(out))
                 new_train_dev = train_metrics.update_device_only(train_dev_states, out_sg, targets)
                 train_host_aux = train_metrics.preprocess_device(out_sg, targets)
             else:
@@ -295,8 +301,9 @@ class Trainer:
           def eval_step(variables, dev_metric_states, inputs, targets):
             variables = {**variables, "params": param_transform(variables["params"])}
             out = apply_fn(variables, inputs, train=False)
-            new_dev = valid_metrics.update_device_only(dev_metric_states, out, targets)
-            host_aux = valid_metrics.preprocess_device(out, targets)
+            mout = _metrics_view(out)
+            new_dev = valid_metrics.update_device_only(dev_metric_states, mout, targets)
+            host_aux = valid_metrics.preprocess_device(mout, targets)
             loss, _ = criterion(out, targets)
             return new_dev, host_aux, loss
 
@@ -675,8 +682,9 @@ class Trainer:
         @jax.jit
         def eval_step(dev_states, inputs, targets):
             out = module.apply(variables, inputs, train=False)
-            new_dev = metrics.update_device_only(dev_states, out, targets)
-            host_aux = metrics.preprocess_device(out, targets)
+            mout = _metrics_view(out)
+            new_dev = metrics.update_device_only(dev_states, mout, targets)
+            host_aux = metrics.preprocess_device(mout, targets)
             loss = criterion(out, targets)[0] if criterion is not None else jnp.zeros(())
             return new_dev, host_aux, loss
 
@@ -715,20 +723,74 @@ class Trainer:
 
     # ----------------------------------------------------------- class APIs
 
-    @classmethod
-    def train_from_config(cls, cfg: Dict):
-        """Recipe entry (ref sg_trainer.py:234): build model + loaders + train."""
-        from super_gradients_tpu import models
-        from super_gradients_tpu.training import dataloaders
+    @staticmethod
+    def _trigger_cfg_modifying_callbacks(cfg: Dict) -> Dict:
+        """Run registered pre-launch callbacks over the cfg before anything is
+        built (ref sg_trainer.py:255,300-306 _trigger_cfg_modifying_callbacks)."""
+        from super_gradients_tpu.common.registry import PRE_LAUNCH_CALLBACKS
 
-        trainer = cls(experiment_name=cfg.get("experiment_name", "experiment"), ckpt_root_dir=cfg.get("ckpt_root_dir"))
-        trainer._recipe_cfg = cfg
+        for entry in cfg.get("pre_launch_callbacks_list") or []:
+            if isinstance(entry, str):
+                cb = PRE_LAUNCH_CALLBACKS[entry]()
+            elif isinstance(entry, dict):
+                name, params = next(iter(entry.items()))
+                cb = PRE_LAUNCH_CALLBACKS[name](**(params or {}))
+            else:
+                cb = entry  # instance
+            cfg = cb(cfg) or cfg
+        return cfg
+
+    @staticmethod
+    def _model_from_cfg(cfg: Dict):
+        """models.get with the FULL checkpoint_params surface (ref
+        model_factory.py:192-256): checkpoint_path, pretrained_weights,
+        load_backbone, strict_load, checkpoint_num_classes; for kd_module
+        architectures the teacher subtree additionally honors
+        teacher_pretrained_weights / teacher_checkpoint_path (ref
+        kd_trainer.py:85-92 — a random teacher would distill noise)."""
+        from super_gradients_tpu import models
+
+        cp = cfg.get("checkpoint_params") or {}
         model = models.get(
             cfg["architecture"],
             num_classes=cfg.get("num_classes") or (cfg.get("arch_params") or {}).get("num_classes"),
             arch_params=cfg.get("arch_params"),
-            checkpoint_path=(cfg.get("checkpoint_params") or {}).get("checkpoint_path"),
+            checkpoint_path=cp.get("checkpoint_path"),
+            pretrained_weights=cp.get("pretrained_weights"),
+            checkpoint_num_classes=cp.get("checkpoint_num_classes"),
+            load_backbone=bool(cp.get("load_backbone")),
+            strict_load=cp.get("strict_load"),
         )
+        teacher_src = cp.get("teacher_pretrained_weights") or cp.get("teacher_checkpoint_path")
+        if teacher_src and "teacher" in (model.params or {}):
+            ap = cfg.get("arch_params") or {}
+            teacher_name = ap.get("teacher") or ap.get("teacher_architecture")
+            if teacher_name is None:
+                raise ValueError("teacher_pretrained_weights set but arch_params has no teacher name")
+            teacher = models.get(
+                teacher_name,
+                num_classes=cfg.get("num_classes") or ap.get("num_classes"),
+                arch_params=ap.get("teacher_arch_params"),
+                pretrained_weights=cp.get("teacher_pretrained_weights"),
+                checkpoint_path=cp.get("teacher_checkpoint_path"),
+            )
+            variables = {col: dict(tree) for col, tree in model.variables.items()}
+            variables["params"]["teacher"] = teacher.params
+            if teacher.batch_stats:
+                variables.setdefault("batch_stats", {})["teacher"] = teacher.batch_stats
+            model.update_variables(variables)
+            logger.info(f"kd_module teacher `{teacher_name}` loaded from {teacher_src}")
+        return model
+
+    @classmethod
+    def train_from_config(cls, cfg: Dict):
+        """Recipe entry (ref sg_trainer.py:234): build model + loaders + train."""
+        from super_gradients_tpu.training import dataloaders
+
+        cfg = cls._trigger_cfg_modifying_callbacks(dict(cfg))
+        trainer = cls(experiment_name=cfg.get("experiment_name", "experiment"), ckpt_root_dir=cfg.get("ckpt_root_dir"))
+        trainer._recipe_cfg = cfg
+        model = cls._model_from_cfg(cfg)
         train_loader = dataloaders.get(
             cfg.get("train_dataloader"),
             dataset_params=(cfg.get("dataset_params") or {}).get("train_dataset_params"),
@@ -741,6 +803,36 @@ class Trainer:
         )
         model = trainer.train(model, cfg.get("training_hyperparams") or {}, train_loader, valid_loader)
         return model, trainer
+
+    @classmethod
+    def evaluate_checkpoint(cls, experiment_name: str, ckpt_root_dir: Optional[str] = None,
+                            ckpt_name: str = "ckpt_best", run_id: Optional[str] = None) -> Dict[str, float]:
+        """Reload a previous run's persisted recipe, rebuild model + val loader,
+        load the named checkpoint and run validation
+        (ref Trainer.evaluate_checkpoint, sg_trainer.py:407)."""
+        import json
+
+        from super_gradients_tpu.training import dataloaders
+        from super_gradients_tpu.training.checkpoints import load_checkpoint_into_model
+
+        run_id = run_id or get_latest_run_id(experiment_name, ckpt_root_dir)
+        if run_id is None:
+            raise FileNotFoundError(f"No previous run found for experiment `{experiment_name}`")
+        ckpt_dir = get_checkpoints_dir_path(experiment_name, ckpt_root_dir, run_id)
+        recipe_path = os.path.join(ckpt_dir, "recipe.json")
+        if not os.path.exists(recipe_path):
+            raise FileNotFoundError(f"{recipe_path} missing — evaluate_checkpoint needs a recipe-launched run")
+        with open(recipe_path) as f:
+            cfg = json.load(f)
+        model = cls._model_from_cfg(cfg)
+        load_checkpoint_into_model(model, os.path.join(ckpt_dir, ckpt_name))
+        valid_loader = dataloaders.get(
+            cfg.get("val_dataloader"),
+            dataset_params=(cfg.get("dataset_params") or {}).get("val_dataset_params"),
+            dataloader_params=(cfg.get("dataset_params") or {}).get("val_dataloader_params"),
+        )
+        trainer = cls(experiment_name, ckpt_root_dir=ckpt_root_dir)
+        return trainer.evaluate(model, valid_loader, cfg.get("training_hyperparams") or {})
 
     @classmethod
     def resume_experiment(cls, experiment_name: str, ckpt_root_dir: Optional[str] = None, run_id: Optional[str] = None):
