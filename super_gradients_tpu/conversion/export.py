@@ -65,8 +65,20 @@ def export_detection_model(
     bf16: bool = True,
     nms_mode: str = "exact",
     preprocessing: bool = True,
+    quantization_mode: Optional[str] = None,
+    calibration_table=None,
 ) -> ExportResult:
-    """Serialize the fused predict program (ref exportable_detector.py:144-634)."""
+    """Serialize the fused predict program (ref exportable_detector.py:144-634).
+
+    ``quantization_mode="int8"`` (ref exportable_detector.py:144 + YOLONAS.md:17-25
+    INT8 engines) bakes the int8 serving numerics INTO the artifact: weights are
+    snapped to the per-channel int8 grid and, given a ``calibration_table``
+    (:func:`super_gradients_tpu.training.quantization.ptq` /
+    ``QuantizationCalibrator``), every calibrated module's activations pass
+    through the calibrated int8 fake-quant — so the exported StableHLO reproduces
+    an int8 engine's accuracy exactly, while XLA:TPU lowers the (uniform-grid)
+    quantized tensors onto the native int8 MXU path where supported.
+    """
     from jax import export as jax_export
 
     from super_gradients_tpu.ops.nms import NMSOutput, batched_nms
@@ -80,16 +92,33 @@ def export_detection_model(
         raise TypeError(
             f"export_detection_model requires a DetectionModel; got task `{getattr(model, 'task', '?')}`"
         )
+    if quantization_mode not in (None, "int8"):
+        raise ValueError(f"quantization_mode must be None or 'int8', got {quantization_mode!r}")
     image_hw = image_hw or model._input_hw
     module, variables = model._infer_module_and_vars(fuse_model, bf16)
     in_dtype = jnp.bfloat16 if bf16 else jnp.float32
     photometric = _photometric_fn(model, preprocessing)
 
+    apply_fn = module.apply
+    if quantization_mode == "int8":
+        from super_gradients_tpu.training.quantization import fake_quantize_params, make_qat_forward
+
+        variables = dict(variables)
+        variables["params"] = fake_quantize_params(variables["params"])
+        if calibration_table is not None:
+            apply_fn, _ = make_qat_forward(module, {
+                "calibration_table": calibration_table,
+                "quantize_weights": False,  # already snapped above
+            })
+        else:
+            logger.warning("int8 export without calibration_table: weights are int8-gridded "
+                           "but activations stay float (pass ptq()'s table for full int8 numerics)")
+
     def program(images):
         x = images.astype(in_dtype)
         if photometric is not None:
             x = photometric(x).astype(in_dtype)
-        out = module.apply(variables, x, train=False)
+        out = apply_fn(variables, x, train=False)
         return batched_nms(
             out.pred_bboxes.astype(jnp.float32),
             out.pred_scores.astype(jnp.float32),
