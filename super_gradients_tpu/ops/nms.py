@@ -13,6 +13,8 @@ suppression modes:
   suppressed if ANY higher-scored box overlaps it (no reactivation). ~0.1 mAP lower,
   wholly parallel → default for latency-critical ``predict``.
 - ``matrix`` — Matrix-NMS (SoloV2) score decay; fully parallel, differentiable-ish.
+- ``pallas`` — exact-NMS semantics via the blocked Pallas VMEM kernel
+  (``ops/pallas/nms_kernel.py``); candidate for large-K suppression on TPU.
 
 No per-image Python loop anywhere: batching via ``vmap``.
 """
@@ -141,6 +143,18 @@ def _single_image_nms(
 
     if mode == "exact":
         keep = _exact_keep_mask(iou, valid, iou_threshold)
+    elif mode == "pallas":
+        # exact-NMS semantics computed by the Pallas blocked kernel in VMEM
+        # (ops/pallas/nms_kernel.py) instead of the K-step XLA fori_loop;
+        # interprets off-TPU so results are backend-independent
+        from super_gradients_tpu.ops.pallas.nms_kernel import BLOCK, pallas_exact_nms_keep
+
+        interpret = "tpu" not in jax.devices()[0].device_kind.lower()
+        kk = nms_boxes.shape[0]
+        pad = (-kk) % BLOCK
+        pb = jnp.pad(nms_boxes.astype(jnp.float32), ((0, pad), (0, 0)))
+        pv = jnp.pad(valid, (0, pad))
+        keep = pallas_exact_nms_keep(pb[None], pv[None], float(iou_threshold), interpret=interpret)[0][:kk] > 0
     elif mode == "fast":
         keep = _fast_keep_mask(iou, valid, iou_threshold)
     elif mode == "matrix":
@@ -148,7 +162,7 @@ def _single_image_nms(
         decayed = top_scores * decay
         keep = valid & (decayed > score_threshold)
     else:
-        raise ValueError(f"Unknown NMS mode `{mode}` (exact|fast|matrix)")
+        raise ValueError(f"Unknown NMS mode `{mode}` (exact|fast|matrix|pallas)")
 
     m = min(max_predictions, top_scores.shape[0])
     if mode == "matrix":

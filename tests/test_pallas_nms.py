@@ -38,3 +38,20 @@ def test_pallas_nms_suppression_chain():
     valid[0, :3] = True
     keep = np.asarray(pallas_exact_nms_keep(jnp.asarray(boxes), jnp.asarray(valid), iou_threshold=0.3, interpret=True))
     assert keep[0, :3].tolist() == [1.0, 0.0, 1.0]
+
+
+def test_pallas_mode_reachable_from_batched_nms():
+    """mode="pallas" is a product-path option of ops.nms.batched_nms (not an
+    orphan kernel) and agrees with mode="exact"."""
+    from super_gradients_tpu.ops.nms import batched_nms
+
+    rng = np.random.RandomState(7)
+    boxes = rng.rand(2, 200, 4).astype(np.float32) * 100
+    boxes[..., 2:] += boxes[..., :2]
+    scores = rng.rand(2, 200, 5).astype(np.float32)
+    exact = batched_nms(jnp.asarray(boxes), jnp.asarray(scores), mode="exact",
+                        score_threshold=0.3, nms_top_k=256, max_predictions=20)
+    pallas = batched_nms(jnp.asarray(boxes), jnp.asarray(scores), mode="pallas",
+                         score_threshold=0.3, nms_top_k=256, max_predictions=20)
+    np.testing.assert_array_equal(np.asarray(exact.num_detections), np.asarray(pallas.num_detections))
+    np.testing.assert_allclose(np.asarray(exact.scores), np.asarray(pallas.scores), atol=1e-6)
