@@ -139,6 +139,17 @@ def load_recipe(config_name: str, config_dir: Optional[str] = None, overrides: O
     return resolve_interpolations(merged)
 
 
+def load_arch_params(config_name: str, recipes_dir_path: Optional[str] = None,
+                     overriding_params: Optional[Dict] = None) -> Dict:
+    """Load an ``arch_params/`` group YAML (ref ``arch_params_factory.get_arch_params``,
+    models/arch_params_factory.py:9): e.g. ``load_arch_params("yolo_nas_s_arch_params")``
+    returns the full module-spec tree consumed by ``models.get(..., arch_params=...)``."""
+    base = recipes_dir_path or _PKG_RECIPE_DIR
+    params = _load_yaml(_resolve_group_file(base, "arch_params", config_name))
+    params.update(overriding_params or {})
+    return resolve_interpolations(params)
+
+
 def add_params_to_cfg(cfg: Dict, params: Sequence[str]) -> Dict:
     """Apply dotted ``key=value`` overrides. Reference parity: ``cfg_utils.py:94``."""
     out = copy.deepcopy(cfg)

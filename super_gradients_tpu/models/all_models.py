@@ -83,13 +83,26 @@ def resnet18_cifar(num_classes=None, arch_params=None, **kw):
 # --------------------------------------------------------------- YOLO-NAS family
 
 
+def dataclasses_replace_fused(cfg, fused):
+    import dataclasses
+
+    return dataclasses.replace(cfg, fused=fused) if fused != "none" else cfg
+
+
 def _yolo_nas_spec(config_fn, num_classes=None, arch_params=None, image_size: int = 640, **kw) -> ModelSpec:
     from super_gradients_tpu.conversion.torch_converter import yolo_nas_key_mapper
     from super_gradients_tpu.models.detection.yolo_nas import YoloNAS
 
     arch_params = arch_params or {}
     nc = num_classes or arch_params.get("num_classes", 80)
-    cfg = config_fn(num_classes=nc, fused=arch_params.get("fused", "none"))
+    if "backbone" in arch_params:
+        # full reference arch_params YAML schema (recipes/arch_params/
+        # yolo_nas_*_arch_params.yaml) — reshape the detector from config
+        from super_gradients_tpu.models.detection.customizable_detector import yolo_nas_config_from_arch_params
+
+        cfg = dataclasses_replace_fused(yolo_nas_config_from_arch_params(arch_params, nc), arch_params.get("fused", "none"))
+    else:
+        cfg = config_fn(num_classes=nc, fused=arch_params.get("fused", "none"))
     return ModelSpec(
         module=YoloNAS(cfg),
         task="detection",
@@ -483,9 +496,18 @@ def _ppyoloe_spec(config_fn, num_classes=None, arch_params=None, image_size: int
     from super_gradients_tpu.conversion.torch_converter import ppyoloe_key_mapper
     from super_gradients_tpu.models.detection.pp_yolo_e import PPYoloE
 
+    import dataclasses
+
     arch_params = arch_params or {}
     nc = num_classes or arch_params.get("num_classes", 80)
     cfg = config_fn(num_classes=nc)
+    if "width_mult" in arch_params or "depth_mult" in arch_params:
+        # arch_params YAML group (recipes/arch_params/ppyoloe_*_arch_params.yaml)
+        cfg = dataclasses.replace(
+            cfg,
+            width_mult=float(arch_params.get("width_mult", cfg.width_mult)),
+            depth_mult=float(arch_params.get("depth_mult", cfg.depth_mult)),
+        )
     return ModelSpec(
         module=PPYoloE(cfg),
         task="detection",

@@ -85,6 +85,74 @@ class CustomizableDetector(nn.Module):
         return self._heads(feats, train=train)
 
 
+def yolo_nas_config_from_arch_params(arch_params: Mapping, num_classes: Optional[int] = None) -> YoloNASConfig:
+    """Translate the REFERENCE arch_params YAML schema
+    (recipes/arch_params/yolo_nas_*_arch_params.yaml: nested
+    ``backbone: {NStageBackbone: {stem/stages/context_module}}``,
+    ``neck: {YoloNASPANNeckWithC2: {neck1..4}}``,
+    ``heads: {NDFLHeads: {heads_list}}``) into a :class:`YoloNASConfig`, so
+    YOLO-NAS detectors are reshapeable purely from YAML like the reference's
+    CustomizableDetector."""
+
+    def inner(spec):
+        _, params = parse_module_spec(spec)
+        return params
+
+    bb = inner(arch_params["backbone"])
+    stem = inner(bb["stem"])
+    stages = [inner(s) for s in bb["stages"]]
+    spp = inner(bb["context_module"])
+    neck = inner(arch_params["neck"])
+    up1, up2 = inner(neck["neck1"]), inner(neck["neck2"])
+    dn3, dn4 = inner(neck["neck3"]), inner(neck["neck4"])
+    heads = inner(arch_params["heads"])
+    head_list = [inner(h) for h in heads["heads_list"]]
+
+    def stage_cfg(p):
+        return StageCfg(
+            out_channels=p["out_channels"], num_blocks=p["num_blocks"],
+            hidden_channels=p["hidden_channels"],
+            concat_intermediates=bool(p.get("concat_intermediates", False)),
+            act=p.get("activation_type", "relu"),
+        )
+
+    def up_cfg(p):
+        return UpStageCfg(
+            out_channels=p["out_channels"], num_blocks=p["num_blocks"],
+            hidden_channels=p["hidden_channels"],
+            width_mult=float(p.get("width_mult", 1.0)), depth_mult=float(p.get("depth_mult", 1.0)),
+            reduce_channels=bool(p.get("reduce_channels", True)), act=p.get("activation_type", "relu"),
+        )
+
+    def dn_cfg(p):
+        return DownStageCfg(
+            out_channels=p["out_channels"], num_blocks=p["num_blocks"],
+            hidden_channels=p["hidden_channels"],
+            width_mult=float(p.get("width_mult", 1.0)), depth_mult=float(p.get("depth_mult", 1.0)),
+            act=p.get("activation_type", "relu"),
+        )
+
+    def head_cfg(p):
+        return HeadCfg(
+            inter_channels=p["inter_channels"], width_mult=float(p["width_mult"]),
+            stride=p["stride"], first_conv_group_size=int(p.get("first_conv_group_size", 0)),
+        )
+
+    return YoloNASConfig(
+        stem_channels=stem["out_channels"],
+        stages=tuple(stage_cfg(s) for s in stages),
+        spp_channels=spp["output_channels"],
+        spp_k=tuple(spp.get("k", (5, 9, 13))),
+        neck1=up_cfg(up1), neck2=up_cfg(up2), neck3=dn_cfg(dn3), neck4=dn_cfg(dn4),
+        heads=tuple(head_cfg(h) for h in head_list),
+        num_classes=num_classes or heads.get("num_classes") or 80,
+        reg_max=int(heads.get("reg_max", 16)),
+        in_channels=int(arch_params.get("in_channels", 3)),
+        bn_eps=float(arch_params.get("bn_eps", 1e-3)),
+        bn_momentum=float(arch_params.get("bn_momentum", 0.03)),
+    )
+
+
 # ------------------------------------------------------------------- builders
 # Each builder takes the reference YAML param names and produces a flax module.
 # YOLO-NAS parts share one YoloNASConfig dataclass internally; unused fields are
