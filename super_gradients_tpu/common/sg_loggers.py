@@ -155,15 +155,89 @@ class BaseSGLogger(AbstractSGLogger):
 
 
 @register_sg_logger("wandb_sg_logger")
-@register_sg_logger("clearml_sg_logger")
-class UnavailableRemoteLogger(BaseSGLogger):
-    """W&B/ClearML need network credentials; this environment is zero-egress —
-    falls back to the local sinks with a warning (reference loggers: wandb_sg_logger.py
-    / clearml_sg_logger.py)."""
+class WandBSGLogger(BaseSGLogger):
+    """Weights & Biases sink (ref common/sg_loggers/wandb_sg_logger.py).
 
-    def __init__(self, **kwargs):
-        logger.warning("Remote experiment loggers are unavailable offline; using local JSONL/TB sinks")
+    Functional when the ``wandb`` package + credentials are present; falls back to
+    the local JSONL/TB sinks otherwise (zero-egress environments keep working)."""
+
+    def __init__(self, project_name: str = "super-gradients-tpu", entity: str = None,
+                 wandb_id: str = None, **kwargs):
         super().__init__(**kwargs)
+        self._wandb = None
+        if not _is_primary():
+            return
+        try:
+            import wandb
+
+            self._wandb = wandb
+            wandb.init(project=project_name, entity=entity, id=wandb_id, resume="allow",
+                       name=kwargs.get("experiment_name"), dir=getattr(self, "_log_dir", None))
+        except Exception as e:
+            logger.warning(f"wandb unavailable ({type(e).__name__}: {e}); using local JSONL/TB sinks only")
+            self._wandb = None
+
+    def add_scalar(self, tag, value, global_step: int = 0):
+        super().add_scalar(tag, value, global_step)
+        if self._wandb is not None:
+            try:
+                self._wandb.log({tag: float(value)}, step=int(global_step))
+            except Exception as e:
+                logger.debug(f"wandb scalar log failed: {e}")
+
+    def add_config(self, tag, config):
+        super().add_config(tag, config)
+        if self._wandb is not None and getattr(self._wandb, "run", None) is not None:
+            try:
+                self._wandb.run.config.update({tag: config}, allow_val_change=True)
+            except Exception as e:
+                logger.debug(f"wandb config update failed: {e}")
+
+    def close(self):
+        if self._wandb is not None and getattr(self._wandb, "run", None) is not None:
+            try:
+                self._wandb.finish()
+            except Exception:
+                pass
+        super().close()
+
+
+@register_sg_logger("clearml_sg_logger")
+class ClearMLSGLogger(BaseSGLogger):
+    """ClearML sink (ref common/sg_loggers/clearml_sg_logger.py). Functional when
+    the ``clearml`` package + credentials exist; local sinks otherwise."""
+
+    def __init__(self, project_name: str = "super-gradients-tpu", **kwargs):
+        super().__init__(**kwargs)
+        self._task = None
+        if not _is_primary():
+            return
+        try:
+            from clearml import Task
+
+            self._task = Task.init(project_name=project_name,
+                                   task_name=kwargs.get("experiment_name", "experiment"))
+        except Exception as e:
+            logger.warning(f"clearml unavailable ({type(e).__name__}: {e}); using local JSONL/TB sinks only")
+            self._task = None
+
+    def add_scalar(self, tag, value, global_step: int = 0):
+        super().add_scalar(tag, value, global_step)
+        if self._task is not None:
+            try:
+                series = tag.rsplit("/", 1)
+                title, series_name = (series[0], series[1]) if len(series) == 2 else (tag, tag)
+                self._task.get_logger().report_scalar(title, series_name, float(value), int(global_step))
+            except Exception as e:
+                logger.debug(f"clearml scalar log failed: {e}")
+
+    def close(self):
+        if self._task is not None:
+            try:
+                self._task.close()
+            except Exception:
+                pass
+        super().close()
 
 
 def get_sg_logger(name: str, **params) -> AbstractSGLogger:
