@@ -500,6 +500,96 @@ def efficientnet_key_mapper():
     return EFFICIENTNET_RULES
 
 
+def _seg_stage(fmt):
+    def repl(m):
+        return fmt.format(s=int(m.group(1)) + 1, b=int(m.group(2)) if m.lastindex > 1 else 0)
+
+    return repl
+
+
+# SegFormer: MiT backbone registered as patch_embed{i}/block{i}/norm{i} (1-based,
+# segformer.py:201-240) under `_backbone`, head under `decode_head` (:362-373)
+SEGFORMER_RULES: Rules = (
+    (r"^patch_embed(\d)$", _seg_stage("_backbone.patch_embed{s}.proj")),
+    (r"^embed_norm(\d)$", _seg_stage("_backbone.patch_embed{s}.norm")),
+    (r"^attn(\d)_(\d+)\.sr_norm$", _seg_stage("_backbone.block{s}.{b}.attn.norm")),
+    (r"^attn(\d)_(\d+)", _seg_stage("_backbone.block{s}.{b}.attn")),
+    (r"^norm1_(\d)_(\d+)$", _seg_stage("_backbone.block{s}.{b}.norm1")),
+    (r"^norm2_(\d)_(\d+)$", _seg_stage("_backbone.block{s}.{b}.norm2")),
+    (r"^ffn(\d)_(\d+)", _seg_stage("_backbone.block{s}.{b}.mlp")),
+    (r"^out_norm(\d)$", _seg_stage("_backbone.norm{s}")),
+    (r"^linear_c(\d)$", _seg_stage("decode_head.linear_c{s}.proj")),
+    (r"^linear_fuse\.conv$", "decode_head.linear_fuse.seq.conv"),
+    (r"^linear_fuse\.bn$", "decode_head.linear_fuse.seq.bn"),
+    (r"^linear_pred$", "decode_head.linear_pred"),
+)
+
+
+def segformer_key_mapper():
+    return SEGFORMER_RULES
+
+
+# STDC/BiSeNet segmentation: context path under `cp`, backbone ModuleDict stages
+# `block_s{ratio}` (stdc.py:160-236), every ConvBNReLU nests under `seq`,
+# stride-2 STDC blocks wrap conv_list[1] in Sequential(dw, conv) (stdc.py:81-87)
+STDC_RULES: Rules = (
+    (r"^backbone\.block_s(\d+)_0\.conv_list_1_dw\.(conv|bn)$", r"cp.backbone.stages.block§s\1.0.conv_list.1.0.seq.\2"),
+    (r"^backbone\.block_s(\d+)_0\.conv_list_1\.(conv|bn)$", r"cp.backbone.stages.block§s\1.0.conv_list.1.1.seq.\2"),
+    (r"^backbone\.block_s(\d+)_(\d+)\.conv_list_(\d+)\.(conv|bn)$", r"cp.backbone.stages.block§s\1.\2.conv_list.\3.seq.\4"),
+    (r"^backbone\.block_s(\d+)_(\d+)\.(conv|bn)$", r"cp.backbone.stages.block§s\1.\2.seq.\3"),
+    (r"^(arm\d+)\.conv_first\.(conv|bn)$", r"cp.\1.conv_first.seq.\2"),
+    (r"^(arm\d+)\.attention_conv\.(conv|bn)$", r"cp.\1.attention_block.1.seq.\2"),
+    (r"^upsample(\d+)_conv\.(conv|bn)$", r"cp.upsample\1.1.seq.\2"),
+    (r"^context_embedding\.(conv|bn)$", r"cp.context_embedding.context_embedding.1.seq.\1"),
+    (r"^ffm\.pw_conv\.(conv|bn)$", r"ffm.pw_conv.seq.\1"),
+    (r"^ffm\.attention_conv1$", "ffm.attention_block.1.seq.conv"),
+    (r"^ffm\.attention_conv2$", "ffm.attention_block.2"),
+    (r"^(segmentation_head|aux_head_s16|aux_head_s32|detail_head8)\.conv\.(conv|bn)$", r"\1.0.seg_head.0.seq.\2"),
+    (r"^(segmentation_head|aux_head_s16|aux_head_s32|detail_head8)\.pred$", r"\1.0.seg_head.2"),
+)
+
+
+def stdc_key_mapper():
+    return STDC_RULES
+
+
+# PP-LiteSeg: STDC backbone + SPPM context under `encoder`, UAFM decoder under
+# `decoder.up_stages` (ppliteseg.py:72-240, context_modules.py:19-62)
+PPLITESEG_RULES: Rules = (
+    (r"^backbone\.block_s(\d+)_0\.conv_list_1_dw\.(conv|bn)$", r"encoder.backbone.stages.block§s\1.0.conv_list.1.0.seq.\2"),
+    (r"^backbone\.block_s(\d+)_0\.conv_list_1\.(conv|bn)$", r"encoder.backbone.stages.block§s\1.0.conv_list.1.1.seq.\2"),
+    (r"^backbone\.block_s(\d+)_(\d+)\.conv_list_(\d+)\.(conv|bn)$", r"encoder.backbone.stages.block§s\1.\2.conv_list.\3.seq.\4"),
+    (r"^backbone\.block_s(\d+)_(\d+)\.(conv|bn)$", r"encoder.backbone.stages.block§s\1.\2.seq.\3"),
+    (r"^context\.branch_(\d+)\.(conv|bn)$", r"encoder.context_module.branches.\1.1.seq.\2"),
+    (r"^context\.conv_out\.(conv|bn)$", r"encoder.context_module.conv_out.seq.\1"),
+    (r"^proj_(\d+)\.(conv|bn)$", r"encoder.proj_convs.\1.seq.\2"),
+    (r"^up_stage_(\d+)\.conv_atten_(\d)\.(conv|bn)$", r"decoder.up_stages.\1.conv_atten.\2.seq.\3"),
+    (r"^up_stage_(\d+)\.proj_skip\.(conv|bn)$", r"decoder.up_stages.\1.proj_skip.seq.\2"),
+    (r"^up_stage_(\d+)\.conv_out\.(conv|bn)$", r"decoder.up_stages.\1.conv_out.seq.\2"),
+    (r"^seg_head\.conv\.(conv|bn)$", r"seg_head.0.seg_head.0.seq.\1"),
+    (r"^seg_head\.pred$", "seg_head.0.seg_head.2"),
+    (r"^aux_head_(\d+)\.conv\.(conv|bn)$", r"aux_heads.\1.0.seg_head.0.seq.\2"),
+    (r"^aux_head_(\d+)\.pred$", r"aux_heads.\1.0.seg_head.2"),
+)
+
+
+def ppliteseg_key_mapper():
+    return PPLITESEG_RULES
+
+
+# BEiT fine-tune architecture (beit.py:167-441): blocks.{i}.attn with q/v-only
+# bias + rel-pos table, LayerScale gammas, mlp.fc1/fc2, mean-pool + fc_norm head
+BEIT_RULES: Rules = (
+    (r"^patch_embed$", "patch_embed.proj"),
+    (r"^block_(\d+)\.fc(\d)$", r"blocks.\1.mlp.fc\2"),
+    (r"^block_(\d+)", r"blocks.\1"),
+)
+
+
+def beit_key_mapper():
+    return BEIT_RULES
+
+
 def load_torch_weights(
     model,
     checkpoint_path: str,

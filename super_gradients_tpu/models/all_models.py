@@ -198,11 +198,13 @@ def _stdc_seg(cfg_name, num_classes=None, arch_params=None, input_hw=(512, 1024)
 
     from super_gradients_tpu.models.segmentation.stdc import STDC1_CFG, STDC2_CFG, STDCSegCfg, STDCSegmentation
 
+    from super_gradients_tpu.conversion.torch_converter import stdc_key_mapper
+
     arch_params = arch_params or {}
     nc = num_classes or arch_params.get("num_classes", 19)
     backbone = STDC1_CFG if cfg_name == "stdc1" else STDC2_CFG
     cfg = STDCSegCfg(backbone=backbone, num_classes=nc, use_aux_heads=arch_params.get("use_aux_heads", True))
-    return _seg_spec(STDCSegmentation(cfg), nc, tuple(input_hw), cfg)
+    return _seg_spec(STDCSegmentation(cfg), nc, tuple(input_hw), cfg, torch_key_mapper=stdc_key_mapper)
 
 
 @register_model("stdc1_seg")
@@ -224,11 +226,13 @@ def _ppliteseg(variant, num_classes=None, arch_params=None, input_hw=(512, 1024)
 
     from super_gradients_tpu.models.segmentation.ppliteseg import PP_LITE_B_CFG, PP_LITE_T_CFG, PPLiteSeg
 
+    from super_gradients_tpu.conversion.torch_converter import ppliteseg_key_mapper
+
     arch_params = arch_params or {}
     nc = num_classes or arch_params.get("num_classes", 19)
     base = PP_LITE_T_CFG if variant == "t" else PP_LITE_B_CFG
     cfg = dataclasses.replace(base, num_classes=nc, use_aux_heads=arch_params.get("use_aux_heads", False))
-    return _seg_spec(PPLiteSeg(cfg), nc, tuple(input_hw), cfg)
+    return _seg_spec(PPLiteSeg(cfg), nc, tuple(input_hw), cfg, torch_key_mapper=ppliteseg_key_mapper)
 
 
 @register_model("pp_lite_t_seg")
@@ -655,10 +659,12 @@ def unet(num_classes=None, arch_params=None, input_hw=(512, 512), **kw):
 def _segformer(cfg, num_classes=None, arch_params=None, input_hw=(512, 1024), **kw):
     import dataclasses
 
+    from super_gradients_tpu.conversion.torch_converter import segformer_key_mapper
     from super_gradients_tpu.models.segmentation.unet_segformer import SegFormer
 
     nc = num_classes or 19
-    return _seg_spec(SegFormer(dataclasses.replace(cfg, num_classes=nc)), nc, tuple(input_hw))
+    return _seg_spec(SegFormer(dataclasses.replace(cfg, num_classes=nc)), nc, tuple(input_hw),
+                     torch_key_mapper=segformer_key_mapper)
 
 
 @register_model("segformer_b0")
@@ -729,16 +735,20 @@ def pnasnet(num_classes=None, arch_params=None, **kw):
 def beit_base(num_classes=None, arch_params=None, **kw):
     from super_gradients_tpu.models.classification.dpn_pnasnet_beit import BEiT
 
+    from super_gradients_tpu.conversion.torch_converter import beit_key_mapper
+
     nc = num_classes or 1000
-    return _cls_spec(BEiT(num_classes=nc), nc)
+    return _cls_spec(BEiT(num_classes=nc), nc, torch_key_mapper=beit_key_mapper)
 
 
 @register_model("beit_large_patch16_224")
 def beit_large(num_classes=None, arch_params=None, **kw):
     from super_gradients_tpu.models.classification.dpn_pnasnet_beit import BEiT
 
+    from super_gradients_tpu.conversion.torch_converter import beit_key_mapper
+
     nc = num_classes or 1000
-    return _cls_spec(BEiT(num_classes=nc, dim=1024, depth=24, heads=16), nc)
+    return _cls_spec(BEiT(num_classes=nc, dim=1024, depth=24, heads=16), nc, torch_key_mapper=beit_key_mapper)
 
 
 @register_model("shelfnet18_lw")

@@ -166,11 +166,10 @@ class BEiTAttention(nn.Module):
         b, n, _ = x.shape
         head_dim = self.dim // self.heads
         scale = head_dim**-0.5
-        qkv_w = self.param("qkv_kernel", nn.initializers.xavier_uniform(), (self.dim, 3 * self.dim))
         q_bias = self.param("q_bias", nn.initializers.zeros, (self.dim,))
         v_bias = self.param("v_bias", nn.initializers.zeros, (self.dim,))
         qkv_bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])  # k has no bias
-        qkv = x @ qkv_w + qkv_bias
+        qkv = nn.Dense(3 * self.dim, use_bias=False, name="qkv")(x) + qkv_bias
         qkv = qkv.reshape(b, n, 3, self.heads, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0] * scale, qkv[1], qkv[2]
         attn = q @ k.transpose(0, 1, 3, 2)  # [B, H, N, N]
@@ -230,6 +229,8 @@ class BEiT(nn.Module):
         x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.dim)), x], axis=1)
         for i in range(self.depth):
             x = BEiTBlock(self.dim, self.heads, (wh, ww), name=f"block_{i}")(x, train=train)
-        x = nn.LayerNorm(name="norm")(x)
-        pooled = jnp.mean(x[:, 1:], axis=1)  # BEiT uses mean pooling over patches
+        # mean-pool FIRST, then fc_norm (ref beit.py:437-441 forward_head with
+        # global_pool='avg': norm is Identity, fc_norm applies to the pooled token)
+        pooled = jnp.mean(x[:, 1:], axis=1)
+        pooled = nn.LayerNorm(name="fc_norm")(pooled)
         return nn.Dense(self.num_classes, name="head")(pooled)

@@ -30,7 +30,25 @@ def _upsample(x: jnp.ndarray, scale: int, method: str = "nearest") -> jnp.ndarra
     b, h, w, c = x.shape
     if method == "nearest":
         return jax.image.resize(x, (b, h * scale, w * scale, c), method="nearest")
-    return jax.image.resize(x, (b, h * scale, w * scale, c), method="bilinear")
+    if method == "bilinear_ac":
+        # torch nn.Upsample(..., align_corners=True) — the reference's seg-head
+        # upsample (stdc.py:478-496); jax.image.resize is half-pixel (align=False),
+        # so interpolate explicitly on the align-corners grid
+        ho, wo = h * scale, w * scale
+        ys = jnp.linspace(0.0, h - 1.0, ho)
+        xs = jnp.linspace(0.0, w - 1.0, wo)
+        y0 = jnp.floor(ys).astype(jnp.int32)
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        wy = (ys - y0)[None, :, None, None]
+        x0 = jnp.floor(xs).astype(jnp.int32)
+        x1 = jnp.minimum(x0 + 1, w - 1)
+        wx = (xs - x0)[None, None, :, None]
+        rt = x[:, y0]
+        rb = x[:, y1]
+        top = rt[:, :, x0] * (1 - wx) + rt[:, :, x1] * wx
+        bot = rb[:, :, x0] * (1 - wx) + rb[:, :, x1] * wx
+        return top * (1 - wy) + bot * wy
+    return jax.image.resize(x, (b, h * scale, w * scale, c), method=method)
 
 
 class STDCBlock(nn.Module):
@@ -210,18 +228,18 @@ class STDCSegmentation(nn.Module):
 
         fused = FeatureFusionModule(c.ffm_channels, name="ffm")(feat8, f16_up, train=train)
         main = SegmentationHead(c.ffm_channels, c.num_classes, c.dropout, name="segmentation_head")(fused, train=train)
-        main = _upsample(main, 8, "bilinear")
+        main = _upsample(main, 8, "bilinear_ac")
 
         if not c.use_aux_heads:
             return main
         # aux heads are built unconditionally (param structure must not depend on
         # `train`); in eval they are not returned so XLA dead-code-eliminates them
         aux16 = SegmentationHead(c.aux_head_channels, c.num_classes, c.dropout, name="aux_head_s16")(feat16, train=train)
-        aux16 = _upsample(aux16, 16, "bilinear")
+        aux16 = _upsample(aux16, 16, "bilinear_ac")
         aux32 = SegmentationHead(c.aux_head_channels, c.num_classes, c.dropout, name="aux_head_s32")(feat32, train=train)
-        aux32 = _upsample(aux32, 32, "bilinear")
+        aux32 = _upsample(aux32, 32, "bilinear_ac")
         detail8 = SegmentationHead(c.detail_head_channels, 1, c.dropout, name="detail_head8")(feat8, train=train)
-        detail8 = _upsample(detail8, 8, "bilinear")
+        detail8 = _upsample(detail8, 8, "bilinear_ac")
         if not train:
             return main
         return main, aux32, aux16, detail8

@@ -74,12 +74,12 @@ class EfficientSelfAttention(nn.Module):
             xm = x.reshape(b, h, w, d)
             xm = nn.Conv(d, (self.sr_ratio, self.sr_ratio), strides=(self.sr_ratio, self.sr_ratio), name="sr")(xm)
             kv_in = nn.LayerNorm(name="sr_norm")(xm.reshape(b, -1, d))
-        k = nn.Dense(d, name="k")(kv_in)
-        v = nn.Dense(d, name="v")(kv_in)
+        # fused kv projection — the reference layout (segformer.py:82 self.kv) and
+        # one [N,D]x[D,2D] matmul instead of two
         hd = d // self.heads
+        kv = nn.Dense(2 * d, name="kv")(kv_in).reshape(b, -1, 2, self.heads, hd)
+        k, v = kv[:, :, 0], kv[:, :, 1]
         q = q.reshape(b, -1, self.heads, hd)
-        k = k.reshape(b, -1, self.heads, hd)
-        v = v.reshape(b, -1, self.heads, hd)
         attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd)
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, d)

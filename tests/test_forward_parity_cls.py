@@ -82,6 +82,15 @@ def test_efficientnet_b0_forward_parity():
     parity_utils.classification_parity(ref, mine, input_hw=(64, 64), rules=EFFICIENTNET_RULES)
 
 
+def test_beit_base_forward_parity():
+    from super_gradients_tpu.conversion.torch_converter import BEIT_RULES
+
+    m = ref_loader.load_ref_module("super_gradients.training.models.classification_models.beit")
+    ref = m.BeitBasePatch16_224(_hp(num_classes=7, image_size=(224, 224)))
+    mine = model_factory.get("beit_base_patch16_224", num_classes=7)
+    parity_utils.classification_parity(ref, mine, input_hw=(224, 224), rules=BEIT_RULES)
+
+
 def test_vit_base_forward_parity():
     from super_gradients_tpu.conversion.torch_converter import VIT_RULES
 
