@@ -46,6 +46,7 @@ def adamw(learning_rate, weight_decay: float = 1e-2, b1: float = 0.9, b2: float 
 
 
 @register_optimizer("RMSProp")
+@register_optimizer("RMSprop")  # reference spells it both ways (torch class name)
 def rmsprop(learning_rate, momentum: float = 0.9, weight_decay: float = 0.0, decay: float = 0.9, eps: float = 1e-8, zero_wd_mask=None, **kw):
     tx = optax.rmsprop(learning_rate, decay=decay, eps=eps, momentum=momentum)
     return _with_decay(tx, learning_rate, weight_decay, zero_wd_mask)
