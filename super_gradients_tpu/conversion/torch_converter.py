@@ -590,6 +590,49 @@ def beit_key_mapper():
     return BEIT_RULES
 
 
+def _regseg_block_prefix():
+    """RegSeg's backbone Sequential names embed the block geometry
+    (regseg.py:236 ``f"{str(d_block)}#{i}"`` with __str__ :165-169) — reconstruct
+    them from the stage table so (stage, block) maps to the dynamic torch name."""
+    from super_gradients_tpu.models.segmentation.regseg import REGSEG48_STAGES
+
+    names = {}
+    cin = 32  # stem output
+    for si, stage in enumerate(REGSEG48_STAGES):
+        for bi, (oc, dil, gw, stride, se) in enumerate(stage):
+            dyn = f"DBlock_in{cin}_out{oc}_d{list(dil)}_gw{gw}_s{stride}_se{se}"
+            names[(si, bi)] = f"backbone.stages.{si}.{dyn}#{bi}"
+            cin = oc
+
+    def repl(m):
+        return names[(int(m.group(1)), int(m.group(2)))]
+
+    return repl
+
+
+REGSEG_RULES: Rules = (
+    (r"^stage(\d+)_(\d+)", _regseg_block_prefix()),
+    # DBlock children → d_block_path Sequential indices (regseg.py:151-159)
+    (r"\.conv1\.(conv|bn)$", r".d_block_path.0.seq.\1"),
+    (r"\.dconv$", ".d_block_path.1"),
+    (r"\.dconv_(\d+)$", r".d_block_path.1.convs.\1"),
+    (r"\.bn2$", ".d_block_path.2"),
+    (r"\.se_fc1$", ".d_block_path.4.se_block.1"),
+    (r"\.se_fc2$", ".d_block_path.4.se_block.3"),
+    (r"\.conv3\.(conv|bn)$", r".d_block_path.5.seq.\1"),
+    (r"\.shortcut\.(conv|bn)$", r".shortcut.shortcut.1.seq.\1"),
+    (r"^stem\.(conv|bn)$", r"stem.seq.\1"),
+    (r"^proj(\d)\.(conv|bn)$", r"decoder.projections.\1.seq.\2"),
+    (r"^decoder_conv\.(conv|bn)$", r"decoder.conv_bn_relu.seq.\1"),
+    (r"^head_conv\.(conv|bn)$", r"head.head.0.seq.\1"),
+    (r"^head_pred$", "head.head.1"),
+)
+
+
+def regseg_key_mapper():
+    return REGSEG_RULES
+
+
 def load_torch_weights(
     model,
     checkpoint_path: str,

@@ -642,10 +642,11 @@ def senet18(num_classes=None, arch_params=None, **kw):
 
 @register_model("regseg48")
 def regseg48(num_classes=None, arch_params=None, input_hw=(512, 1024), **kw):
+    from super_gradients_tpu.conversion.torch_converter import regseg_key_mapper
     from super_gradients_tpu.models.segmentation.regseg import RegSeg, RegSegCfg
 
     nc = num_classes or 19
-    return _seg_spec(RegSeg(RegSegCfg(num_classes=nc)), nc, tuple(input_hw))
+    return _seg_spec(RegSeg(RegSegCfg(num_classes=nc)), nc, tuple(input_hw), torch_key_mapper=regseg_key_mapper)
 
 
 @register_model("unet")

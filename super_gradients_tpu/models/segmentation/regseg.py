@@ -15,6 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from super_gradients_tpu.models.segmentation.stdc import _upsample
 from super_gradients_tpu.modules.blocks import ConvBNAct
 
 REGSEG48_STAGES = (
@@ -99,7 +100,8 @@ class RegSeg(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = self.cfg
-        x = ConvBNAct(out_channels=32, kernel=3, stride=2, act="relu", name="stem")(x, train=train)
+        # ref stem ConvBNReLU leaves bias at its True default (regseg.py:318)
+        x = ConvBNAct(out_channels=32, kernel=3, stride=2, act="relu", bias=True, name="stem")(x, train=train)
         stage_outs = []
         for si, stage in enumerate(c.stages):
             for bi, (oc, dil, gw, stride, se) in enumerate(stage):
@@ -108,14 +110,13 @@ class RegSeg(nn.Module):
 
         # decoder (ref :174-203): proj2 up + proj1 -> conv -> up -> cat proj0
         p = c.projection_out_channels
+        # decoder upsamples are align_corners=True (ref regseg.py:188)
         proj2 = ConvBNAct(out_channels=p[2], kernel=1, act="relu", name="proj2")(stage_outs[2], train=train)
-        b, h, w, cc = proj2.shape
-        proj2 = jax.image.resize(proj2, (b, h * 2, w * 2, cc), "bilinear")
+        proj2 = _upsample(proj2, 2, "bilinear_ac")
         proj1 = ConvBNAct(out_channels=p[1], kernel=1, act="relu", name="proj1")(stage_outs[1], train=train)
         y = proj1 + proj2
         y = ConvBNAct(out_channels=p[1] // 2, kernel=3, act="relu", name="decoder_conv")(y, train=train)
-        b, h, w, cc = y.shape
-        y = jax.image.resize(y, (b, h * 2, w * 2, cc), "bilinear")
+        y = _upsample(y, 2, "bilinear_ac")
         proj0 = ConvBNAct(out_channels=p[0], kernel=1, act="relu", name="proj0")(stage_outs[0], train=train)
         y = jnp.concatenate([y, proj0], axis=-1)
 

@@ -47,3 +47,12 @@ def test_pp_lite_t_seg_forward_parity():
     ref = m.PPLiteSegT(_hp(num_classes=7, use_aux_heads=False))
     mine = model_factory.get("pp_lite_t_seg", num_classes=7, arch_params={"use_aux_heads": False})
     parity_utils.segmentation_parity(ref, mine, input_hw=(128, 256), rules=PPLITESEG_RULES)
+
+
+def test_regseg48_forward_parity():
+    from super_gradients_tpu.conversion.torch_converter import REGSEG_RULES
+
+    m = ref_loader.load_ref_module("super_gradients.training.models.segmentation_models.regseg")
+    ref = m.RegSeg48(_hp(num_classes=7))
+    mine = model_factory.get("regseg48", num_classes=7)
+    parity_utils.segmentation_parity(ref, mine, input_hw=(128, 256), rules=REGSEG_RULES)
