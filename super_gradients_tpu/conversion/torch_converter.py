@@ -633,6 +633,30 @@ def regseg_key_mapper():
     return REGSEG_RULES
 
 
+def vgg_key_mapper(cfg):
+    """VGG features are one flat Sequential: 3 entries (Conv,BN,ReLU) per conv, 1
+    per 'M' pool, trailing AvgPool (vgg.py:26-36). Map our conv_{i} to the flat
+    indices computed from the layer cfg."""
+    idxs = {}
+    ci = flat = 0
+    for v in cfg:
+        if v == "M":
+            flat += 1
+        else:
+            idxs[ci] = flat
+            ci += 1
+            flat += 3
+
+    def repl(m):
+        base = idxs[int(m.group(1))]
+        return f"features.{base if m.group(2) == 'conv' else base + 1}"
+
+    def mapper():
+        return ((r"^conv_(\d+)\.(conv|bn)$", repl),)
+
+    return mapper
+
+
 def load_torch_weights(
     model,
     checkpoint_path: str,

@@ -448,16 +448,22 @@ def vit_large_model(num_classes=None, arch_params=None, **kw):
 def vgg16(num_classes=None, arch_params=None, **kw):
     from super_gradients_tpu.models.classification.misc_models import VGG, VGG_CFGS
 
+    from super_gradients_tpu.conversion.torch_converter import vgg_key_mapper
+
     nc = num_classes or 10
-    return _cls_spec(VGG(cfg=VGG_CFGS["vgg16"], num_classes=nc), nc, (32, 32))
+    return _cls_spec(VGG(cfg=VGG_CFGS["vgg16"], num_classes=nc), nc, (32, 32),
+                     torch_key_mapper=vgg_key_mapper(VGG_CFGS["vgg16"]))
 
 
 @register_model("vgg19_bn")
 def vgg19(num_classes=None, arch_params=None, **kw):
     from super_gradients_tpu.models.classification.misc_models import VGG, VGG_CFGS
 
+    from super_gradients_tpu.conversion.torch_converter import vgg_key_mapper
+
     nc = num_classes or 10
-    return _cls_spec(VGG(cfg=VGG_CFGS["vgg19"], num_classes=nc), nc, (32, 32))
+    return _cls_spec(VGG(cfg=VGG_CFGS["vgg19"], num_classes=nc), nc, (32, 32),
+                     torch_key_mapper=vgg_key_mapper(VGG_CFGS["vgg19"]))
 
 
 @register_model("lenet")

@@ -35,7 +35,8 @@ class VGG(nn.Module):
             if v == "M":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             else:
-                x = ConvBNAct(out_channels=int(v), kernel=3, act="relu", name=f"conv_{i}")(x, train=train)
+                # ref VGG convs keep bias=True (vgg.py:33 nn.Conv2d default)
+                x = ConvBNAct(out_channels=int(v), kernel=3, act="relu", bias=True, name=f"conv_{i}")(x, train=train)
                 i += 1
         x = jnp.mean(x, axis=(1, 2))
         return nn.Dense(self.num_classes, name="classifier")(x)

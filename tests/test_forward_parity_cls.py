@@ -98,3 +98,14 @@ def test_vit_base_forward_parity():
     ref = m.ViTBase(_hp(num_classes=7, image_size=(224, 224)))
     mine = model_factory.get("vit_base", num_classes=7)
     parity_utils.classification_parity(ref, mine, input_hw=(224, 224), rules=VIT_RULES)
+
+
+def test_vgg16_forward_parity():
+    from super_gradients_tpu.conversion.torch_converter import vgg_key_mapper
+    from super_gradients_tpu.models.classification.misc_models import VGG_CFGS
+
+    m = ref_loader.load_ref_module("super_gradients.training.models.classification_models.vgg")
+    ref = m.VGG("VGG16")
+    mine = model_factory.get("vgg16", num_classes=10)
+    parity_utils.classification_parity(ref, mine, input_hw=(32, 32),
+                                       rules=vgg_key_mapper(VGG_CFGS["vgg16"])())
