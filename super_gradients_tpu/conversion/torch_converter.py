@@ -633,6 +633,54 @@ def regseg_key_mapper():
     return REGSEG_RULES
 
 
+# ShuffleNetV2: conv1/conv5 Sequentials, layer2-4 stages, branch1/branch2
+# Sequential indices (shufflenetv2.py:24-162)
+SHUFFLENET_RULES: Rules = (
+    (r"^stem\.conv$", "conv1.0"),
+    (r"^stem\.bn$", "conv1.1"),
+    (r"^stage_(\d+)_(\d+)", lambda m: f"layer{int(m.group(1)) + 2}.{m.group(2)}"),
+    (r"\.b_conv1\.conv$", ".branch2.0"),
+    (r"\.b_conv1\.bn$", ".branch2.1"),
+    (r"\.b_dw\.conv$", ".branch2.3"),
+    (r"\.b_dw\.bn$", ".branch2.4"),
+    (r"\.b_conv2\.conv$", ".branch2.5"),
+    (r"\.b_conv2\.bn$", ".branch2.6"),
+    (r"\.l_dw\.conv$", ".branch1.0"),
+    (r"\.l_dw\.bn$", ".branch1.1"),
+    (r"\.l_conv\.conv$", ".branch1.2"),
+    (r"\.l_conv\.bn$", ".branch1.3"),
+    (r"^head_conv\.conv$", "conv5.0"),
+    (r"^head_conv\.bn$", "conv5.1"),
+)
+
+
+def shufflenet_key_mapper():
+    return SHUFFLENET_RULES
+
+
+# SENet18 (senet.py:45-112): flat stem conv1/bn1, PreAct blocks with BN-less
+# Sequential shortcut, SE fc convs
+SENET_RULES: Rules = (
+    (r"^conv1\.conv$", "conv1"),
+    (r"^conv1\.bn$", "bn1"),
+    (r"shortcut_conv", "shortcut.0"),
+)
+
+
+def senet_key_mapper():
+    return SENET_RULES
+
+
+# PreActResNet (preact_resnet.py:15-38): Sequential shortcut
+PREACT_RULES: Rules = (
+    (r"\.shortcut$", ".shortcut.0"),
+)
+
+
+def preact_key_mapper():
+    return PREACT_RULES
+
+
 def vgg_key_mapper(cfg):
     """VGG features are one flat Sequential: 3 entries (Conv,BN,ReLU) per conv, 1
     per 'M' pool, trailing AvgPool (vgg.py:26-36). Map our conv_{i} to the flat

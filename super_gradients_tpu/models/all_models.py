@@ -478,8 +478,10 @@ def lenet(num_classes=None, arch_params=None, **kw):
 def shufflenet_v2(num_classes=None, arch_params=None, **kw):
     from super_gradients_tpu.models.classification.misc_models import ShuffleNetV2
 
+    from super_gradients_tpu.conversion.torch_converter import shufflenet_key_mapper
+
     nc = num_classes or 1000
-    return _cls_spec(ShuffleNetV2(num_classes=nc), nc)
+    return _cls_spec(ShuffleNetV2(num_classes=nc), nc, torch_key_mapper=shufflenet_key_mapper)
 
 
 @register_model("densenet121")
@@ -621,10 +623,11 @@ for _v in ["repvgg_a0", "repvgg_a1", "repvgg_a2", "repvgg_b0"]:
 
 @register_model("preact_resnet18")
 def preact_resnet18(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.conversion.torch_converter import preact_key_mapper
     from super_gradients_tpu.models.classification.more_models import PreActResNet
 
     nc = num_classes or 10
-    return _cls_spec(PreActResNet(num_classes=nc), nc, (32, 32))
+    return _cls_spec(PreActResNet(num_classes=nc), nc, (32, 32), torch_key_mapper=preact_key_mapper)
 
 
 @register_model("googlenet_v1")
@@ -632,15 +635,16 @@ def googlenet_v1(num_classes=None, arch_params=None, **kw):
     from super_gradients_tpu.models.classification.more_models import GoogLeNet
 
     nc = num_classes or 1000
-    return _cls_spec(GoogLeNet(num_classes=nc), nc)
+    return _cls_spec(GoogLeNet(num_classes=nc), nc)  # direct name parity; generic rules suffice
 
 
 @register_model("senet18")
 def senet18(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.conversion.torch_converter import senet_key_mapper
     from super_gradients_tpu.models.classification.more_models import SENetCifar
 
     nc = num_classes or 10
-    return _cls_spec(SENetCifar(num_classes=nc), nc, (32, 32))
+    return _cls_spec(SENetCifar(num_classes=nc), nc, (32, 32), torch_key_mapper=senet_key_mapper)
 
 
 # ---------------------------------------------------- Segmentation (final batch)

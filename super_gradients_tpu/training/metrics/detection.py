@@ -151,9 +151,9 @@ def compute_ap(
     Returns (ap [C, T], precision [C, T], recall [C, T], f1 [C, T], classes_with_gt [C]).
     """
     num_classes = len(n_gt_per_class)
+    tp = np.asarray(tp, dtype=bool)
     t = tp.shape[1] if tp.ndim == 2 else 1
-    if keep is None:
-        keep = np.ones_like(tp, dtype=bool)
+    keep = np.ones_like(tp, dtype=bool) if keep is None else np.asarray(keep, dtype=bool)
     ap = np.zeros((num_classes, t))
     precision = np.zeros((num_classes, t))
     recall = np.zeros((num_classes, t))
@@ -211,9 +211,9 @@ def best_score_thresholds(
     (global_threshold, global_best_f1, {class_id: per_class_threshold})."""
     if len(conf) == 0:
         return 0.0, 0.0, {}
+    tp = np.asarray(tp, dtype=bool)
     t = tp.shape[1] if tp.ndim == 2 else 1
-    if keep is None:
-        keep = np.ones_like(tp, dtype=bool)
+    keep = np.ones_like(tp, dtype=bool) if keep is None else np.asarray(keep, dtype=bool)
     grid = np.linspace(0, 1, 101)
     order = np.argsort(-conf, kind="stable")
     tp, conf_s, cls_s, keep = tp[order], conf[order], pred_cls[order], keep[order]

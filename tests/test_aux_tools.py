@@ -69,10 +69,12 @@ def test_detection_dataset_ram_cache_and_plot(tmp_path):
 def test_best_score_thresholds_per_class():
     from super_gradients_tpu.training.metrics.detection import best_score_thresholds
 
-    # class 0: high-conf TPs; class 1: low-conf TPs — per-class thresholds differ
-    tp = np.array([[1], [1], [1], [1]], dtype=float)
-    conf = np.array([0.9, 0.85, 0.3, 0.25])
-    cls = np.array([0, 0, 1, 1])
+    # class 0: two TPs + one low-conf FP (best F1 needs a threshold above the FP);
+    # class 1: all TPs (best F1 already at threshold 0 — the reference's argmax
+    # picks the FIRST maximum of the 101-point sweep, detection_utils.py:1558)
+    tp = np.array([[1], [1], [0], [1], [1]], dtype=float)
+    conf = np.array([0.9, 0.85, 0.2, 0.3, 0.25])
+    cls = np.array([0, 0, 0, 1, 1])
     n_gt = np.array([2, 2])
     g_thr, g_f1, per_cls = best_score_thresholds(tp, conf, cls, n_gt)
     assert set(per_cls) == {0, 1}

@@ -109,3 +109,37 @@ def test_vgg16_forward_parity():
     mine = model_factory.get("vgg16", num_classes=10)
     parity_utils.classification_parity(ref, mine, input_hw=(32, 32),
                                        rules=vgg_key_mapper(VGG_CFGS["vgg16"])())
+
+
+def test_shufflenet_v2_x1_0_forward_parity():
+    from super_gradients_tpu.conversion.torch_converter import SHUFFLENET_RULES
+
+    m = ref_loader.load_ref_module("super_gradients.training.models.classification_models.shufflenetv2")
+    ref = m.ShufflenetV2_x1_0(_hp(num_classes=7), num_classes=7)
+    mine = model_factory.get("shufflenet_v2_x1_0", num_classes=7)
+    parity_utils.classification_parity(ref, mine, input_hw=(64, 64), rules=SHUFFLENET_RULES)
+
+
+def test_googlenet_v1_forward_parity():
+    m = ref_loader.load_ref_module("super_gradients.training.models.classification_models.googlenet")
+    ref = m.GoogleNetV1(_hp(num_classes=7, dropout=0.2))
+    mine = model_factory.get("googlenet_v1", num_classes=7)
+    parity_utils.classification_parity(ref, mine, input_hw=(224, 224), rules=())
+
+
+def test_senet18_forward_parity():
+    from super_gradients_tpu.conversion.torch_converter import SENET_RULES
+
+    m = ref_loader.load_ref_module("super_gradients.training.models.classification_models.senet")
+    ref = m.SENet(m.PreActBlock, [2, 2, 2, 2], num_classes=7)
+    mine = model_factory.get("senet18", num_classes=7)
+    parity_utils.classification_parity(ref, mine, input_hw=(32, 32), rules=SENET_RULES)
+
+
+def test_preact_resnet18_forward_parity():
+    from super_gradients_tpu.conversion.torch_converter import PREACT_RULES
+
+    m = ref_loader.load_ref_module("super_gradients.training.models.classification_models.preact_resnet")
+    ref = m.PreActResNet(m.PreActBlock, [2, 2, 2, 2], num_classes=7)
+    mine = model_factory.get("preact_resnet18", num_classes=7)
+    parity_utils.classification_parity(ref, mine, input_hw=(32, 32), rules=PREACT_RULES)
