@@ -681,6 +681,46 @@ def preact_key_mapper():
     return PREACT_RULES
 
 
+# ResNeXt (resnext.py:26-130): torchvision layout — flat conv/bn names per block,
+# downsample Sequential
+RESNEXT_RULES: Rules = (
+    (r"^stem\.conv$", "conv1"),
+    (r"^stem\.bn$", "bn1"),
+    (r"\.conv1\.conv$", ".conv1"),
+    (r"\.conv1\.bn$", ".bn1"),
+    (r"\.conv2\.conv$", ".conv2"),
+    (r"\.conv2\.bn$", ".bn2"),
+    (r"\.conv3\.conv$", ".conv3"),
+    (r"\.conv3\.bn$", ".bn3"),
+    (r"\.shortcut\.conv$", ".downsample.0"),
+    (r"\.shortcut\.bn$", ".downsample.1"),
+)
+
+
+def resnext_key_mapper():
+    return RESNEXT_RULES
+
+
+# DPN (dpn.py:15-70): same flat conv/bn layout but the projection is named
+# `shortcut` (Sequential), and the stem is conv1/bn1
+DPN_RULES: Rules = (
+    (r"^stem\.conv$", "conv1"),
+    (r"^stem\.bn$", "bn1"),
+    (r"\.conv1\.conv$", ".conv1"),
+    (r"\.conv1\.bn$", ".bn1"),
+    (r"\.conv2\.conv$", ".conv2"),
+    (r"\.conv2\.bn$", ".bn2"),
+    (r"\.conv3\.conv$", ".conv3"),
+    (r"\.conv3\.bn$", ".bn3"),
+    (r"\.shortcut\.conv$", ".shortcut.0"),
+    (r"\.shortcut\.bn$", ".shortcut.1"),
+)
+
+
+def dpn_key_mapper():
+    return DPN_RULES
+
+
 def vgg_key_mapper(cfg):
     """VGG features are one flat Sequential: 3 entries (Conv,BN,ReLU) per conv, 1
     per 'M' pool, trailing AvgPool (vgg.py:26-36). Map our conv_{i} to the flat

@@ -112,6 +112,7 @@ def _yolo_nas_spec(config_fn, num_classes=None, arch_params=None, image_size: in
         processing=default_yolo_nas_coco_processing(image_size),
         class_names=COCO_DETECTION_CLASSES_LIST if nc == 80 else None,
         torch_key_mapper=yolo_nas_key_mapper,
+        init_hw=(64, 64),
     )
 
 
@@ -163,6 +164,7 @@ def _seg_spec(module, nc, input_hw=(512, 1024), cfg=None, torch_key_mapper=None)
         ),
         class_names=CITYSCAPES_CLASSES_LIST if nc == 19 else None,
         torch_key_mapper=torch_key_mapper,
+        init_hw=(128, 128),  # conv-only seg families: params identical at any size
     )
 
 
@@ -309,6 +311,7 @@ def _pose_spec(config_fn, num_classes=None, arch_params=None, image_size: int = 
         class_names=COCO_POSE_KEYPOINTS if nj == 17 else None,
         wrapper_cls=wrapper,
         torch_key_mapper=yolo_nas_pose_key_mapper,
+        init_hw=(64, 64),
     )
 
 
@@ -495,10 +498,11 @@ def densenet121(num_classes=None, arch_params=None, **kw):
 
 @register_model("resnext50")
 def resnext50(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.conversion.torch_converter import resnext_key_mapper
     from super_gradients_tpu.models.classification.misc_models import ResNeXt
 
     nc = num_classes or 1000
-    return _cls_spec(ResNeXt(num_classes=nc), nc)
+    return _cls_spec(ResNeXt(num_classes=nc), nc, torch_key_mapper=resnext_key_mapper)
 
 
 # ------------------------------------------------------------ PP-YOLOE family
@@ -529,6 +533,7 @@ def _ppyoloe_spec(config_fn, num_classes=None, arch_params=None, image_size: int
         processing=default_yolo_nas_coco_processing(image_size),
         class_names=COCO_DETECTION_CLASSES_LIST if nc == 80 else None,
         torch_key_mapper=ppyoloe_key_mapper,
+        init_hw=(64, 64),
     )
 
 
@@ -578,6 +583,7 @@ def _yolox_spec(variant, num_classes=None, arch_params=None, image_size: int = 6
         processing=default_yolo_nas_coco_processing(image_size),
         class_names=COCO_DETECTION_CLASSES_LIST if nc == 80 else None,
         torch_key_mapper=yolox_key_mapper,
+        init_hw=(64, 64),
     )
 
 
@@ -720,18 +726,20 @@ def dekr_w32(num_classes=None, arch_params=None, image_size: int = 512, **kw) ->
 
 @register_model("dpn26")
 def dpn26(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.conversion.torch_converter import dpn_key_mapper
     from super_gradients_tpu.models.classification.dpn_pnasnet_beit import DPN, dpn26_kwargs
 
     nc = num_classes or 10
-    return _cls_spec(DPN(num_classes=nc, **dpn26_kwargs()), nc, (32, 32))
+    return _cls_spec(DPN(num_classes=nc, **dpn26_kwargs()), nc, (32, 32), torch_key_mapper=dpn_key_mapper)
 
 
 @register_model("dpn92")
 def dpn92(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.conversion.torch_converter import dpn_key_mapper
     from super_gradients_tpu.models.classification.dpn_pnasnet_beit import DPN, dpn92_kwargs
 
     nc = num_classes or 10
-    return _cls_spec(DPN(num_classes=nc, **dpn92_kwargs()), nc, (32, 32))
+    return _cls_spec(DPN(num_classes=nc, **dpn92_kwargs()), nc, (32, 32), torch_key_mapper=dpn_key_mapper)
 
 
 @register_model("pnasnet")

@@ -58,6 +58,12 @@ class ModelSpec:
     class_names: Optional[List[str]] = None
     torch_key_mapper: Optional[Callable] = None  # for checkpoint conversion
     wrapper_cls: Optional[type] = None  # override task wrapper (e.g. pose)
+    # Shape used for the ONE-time param init. Fully-convolutional models produce
+    # IDENTICAL variables at any valid size, so builders set a small init_hw to
+    # avoid compiling the init program at full 640x640/512x1024 (minutes on CPU).
+    # None = init at input_hw (required when params depend on H/W: ViT/BEiT
+    # positional tables).
+    init_hw: Optional[Tuple[int, int]] = None
 
 
 def get_architecture(model_name: str) -> Callable:
@@ -109,7 +115,8 @@ def get(
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         rng = jax.random.PRNGKey(seed)
-        example = jnp.zeros((1, spec.input_hw[0], spec.input_hw[1], 3), dtype=jnp.float32)
+        init_hw = spec.init_hw or spec.input_hw
+        example = jnp.zeros((1, init_hw[0], init_hw[1], 3), dtype=jnp.float32)
         variables = jax.jit(spec.module.init, static_argnames=("train",))(rng, example, train=False)
 
     wrapper = spec.wrapper_cls or TASK_WRAPPERS[spec.task]

@@ -1,3 +1,4 @@
+
 """DEKR training path: dense target generation, end-to-end train step, rescoring data
 (VERDICT r1 #8; ref target_generators.py:1-226, rescoring_dataset.py)."""
 
@@ -10,6 +11,11 @@ from super_gradients_tpu.training.pose_targets import (
     padded_pose_targets_to_joints,
 )
 
+
+
+# Heavy e2e training file — opt-in tier (pytest -m slow); the default tier keeps
+# the per-component unit/golden tests (see pytest.ini).
+pytestmark = pytest.mark.slow
 
 def _one_pose(k=17, x0=100.0, y0=80.0, spread=40.0):
     joints = np.zeros((1, k, 3), np.float32)

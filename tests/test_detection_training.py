@@ -9,6 +9,10 @@ from super_gradients_tpu import models
 from super_gradients_tpu.training import dataloaders
 from super_gradients_tpu.training.trainer import Trainer
 
+# Heavy e2e training file — opt-in tier (pytest -m slow); the default tier keeps
+# the per-component unit/golden tests (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 
 def test_yolo_nas_detection_training_step(tmp_path):
     import super_gradients_tpu as sg

@@ -143,3 +143,21 @@ def test_preact_resnet18_forward_parity():
     ref = m.PreActResNet(m.PreActBlock, [2, 2, 2, 2], num_classes=7)
     mine = model_factory.get("preact_resnet18", num_classes=7)
     parity_utils.classification_parity(ref, mine, input_hw=(32, 32), rules=PREACT_RULES)
+
+
+def test_resnext50_forward_parity():
+    from super_gradients_tpu.conversion.torch_converter import RESNEXT_RULES
+
+    m = ref_loader.load_ref_module("super_gradients.training.models.classification_models.resnext")
+    ref = m.ResNeXt(layers=[3, 4, 6, 3], cardinality=32, bottleneck_width=4, num_classes=7)
+    mine = model_factory.get("resnext50", num_classes=7)
+    parity_utils.classification_parity(ref, mine, input_hw=(64, 64), rules=RESNEXT_RULES)
+
+
+def test_dpn26_forward_parity():
+    from super_gradients_tpu.conversion.torch_converter import DPN_RULES
+
+    m = ref_loader.load_ref_module("super_gradients.training.models.classification_models.dpn")
+    ref = m.DPN26()
+    mine = model_factory.get("dpn26", num_classes=10)
+    parity_utils.classification_parity(ref, mine, input_hw=(32, 32), rules=DPN_RULES)

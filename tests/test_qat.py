@@ -1,9 +1,11 @@
+
 """Real QAT: in-graph fake-quant of weights AND activations with STE, consuming
 the calibration table (ref selective_quantization_utils.py:50, calibrator.py:27-151)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from super_gradients_tpu import models
 from super_gradients_tpu.training import dataloaders
@@ -65,6 +67,7 @@ def test_weight_ste_quantization_differentiable():
     assert max(float(jnp.abs(l).max()) for l in jax.tree_util.tree_leaves(g)) > 0
 
 
+@pytest.mark.slow  # heavy e2e training — opt-in tier
 def test_qat_recovers_ptq_accuracy(tmp_path):
     """QAT fine-tune accuracy >= plain PTQ accuracy on a learnable task
     (VERDICT r1 'done' criterion for real QAT)."""

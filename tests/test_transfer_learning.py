@@ -7,7 +7,6 @@ import numpy as np
 
 from super_gradients_tpu import models
 
-
 def _flat(tree, prefix=()):
     for k, v in tree.items():
         p = prefix + (k,)
