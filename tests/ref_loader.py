@@ -103,9 +103,12 @@ def _passthrough_decorator(*dargs, **dkwargs):
     return deco
 
 
+# NOTE: no "albumentations"/"wandb"/"clearml" here beyond what ref model files
+# need — stubs leak into the shared pytest process and must not flip the
+# library's own optional-dependency gates (e.g. the albumentations bridge test).
 _STUB_ROOTS = ("torchvision", "torchmetrics", "pytorch_quantization", "onnx", "onnxsim",
-               "onnx_graphsurgeon", "onnxruntime", "wandb", "dagshub", "clearml",
-               "deci_platform_client", "botocore", "boto3", "black", "albumentations",
+               "onnx_graphsurgeon", "onnxruntime", "dagshub",
+               "deci_platform_client", "botocore", "boto3", "black",
                "data_gradients", "pycocotools", "hydra", "omegaconf", "deprecated", "coverage")
 
 
@@ -278,7 +281,7 @@ def _install_external_stubs():
         pq.quant_modules = _mod("pytorch_quantization.quant_modules")
     for name in ("onnx", "onnxsim", "onnx_graphsurgeon", "onnxruntime", "wandb", "dagshub",
                  "clearml", "deci_platform_client", "botocore", "boto3", "black",
-                 "albumentations", "data_gradients", "coverage", "pip"):
+                 "data_gradients", "coverage", "pip"):
         if name not in sys.modules:
             _auto(_mod(name, __version__="0.0.0+stub"))
     if "pkg_resources" not in sys.modules:
@@ -570,6 +573,14 @@ def _install_hollow_packages():
         if not os.path.isdir(path):
             continue
         if name in sys.modules:
+            # another test's standalone loader may have parked a BARE module here
+            # (e.g. test_ohem_golden's exception stubs) — repair it so submodule
+            # imports resolve against the real reference tree
+            m = sys.modules[name]
+            if not hasattr(m, "__path__"):
+                m.__path__ = [path]
+            if not hasattr(m, "__getattr__"):
+                m.__getattr__ = _make_pkg_getattr(name)
             continue
         m = types.ModuleType(name)
         m.__path__ = [path]
@@ -610,6 +621,22 @@ def _install_hollow_packages():
     al = _mod("super_gradients.common.auto_logging")
     al.__path__ = [os.path.join(REF_SRC, "super_gradients/common/auto_logging")]
     _mod("super_gradients.common.auto_logging.console_logging", ConsoleSink=_ConsoleSink)
+
+    # repair EVERY pre-existing bare super_gradients.* module (other tests'
+    # standalone loaders park path-less stubs, e.g. test_ohem_golden's
+    # super_gradients.common.exceptions) so submodule imports resolve against
+    # the real reference tree
+    for name in list(sys.modules):
+        if not name.startswith("super_gradients"):
+            continue
+        m = sys.modules[name]
+        if m is None or hasattr(m, "__path__") or hasattr(m, "__file__"):
+            continue
+        path = os.path.join(REF_SRC, name.replace(".", "/"))
+        if os.path.isdir(path):
+            m.__path__ = [path]
+            if not hasattr(m, "__getattr__"):
+                m.__getattr__ = _make_pkg_getattr(name)
 
     # attributes some leaf files expect on hollow parents
     sg = sys.modules["super_gradients"]

@@ -2,6 +2,7 @@
 ppyoloe_switch_callback.py)."""
 
 import numpy as np
+import pytest
 
 from super_gradients_tpu import models
 from super_gradients_tpu.training import dataloaders
@@ -15,6 +16,7 @@ def _det_loader(n=8, size=64, classes=8, bs=4):
     )
 
 
+@pytest.mark.slow  # heavy e2e training — opt-in tier
 def test_ppyoloe_stage_switch_rebuilds_criterion(tmp_path):
     model = models.get("yolo_nas_s", num_classes=8, image_size=64)
     loader = _det_loader()
@@ -60,6 +62,7 @@ def test_yolox_stage_switch_closes_mosaic(tmp_path):
     assert ctx._criterion_updates == {"use_l1": True}
 
 
+@pytest.mark.slow  # heavy e2e training — opt-in tier
 def test_visualization_and_extreme_batch_callbacks(tmp_path):
     """Detection visualization + extreme-batch callbacks write images to the logger."""
     model = models.get("yolo_nas_s", num_classes=8, image_size=64)

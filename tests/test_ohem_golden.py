@@ -34,7 +34,15 @@ def _load_reference_ohem():
     return mod
 
 
-REF = _load_reference_ohem()
+_REF_CACHE = []
+
+
+def REF_mod():
+    """Lazy: collection-time sys.modules writes would break ref_loader's hollow
+    packages for every parity test in the shared pytest process."""
+    if not _REF_CACHE:
+        _REF_CACHE.append(_load_reference_ohem())
+    return _REF_CACHE[0]
 
 
 @pytest.mark.parametrize("mining_percent,threshold", [(0.1, 0.7), (0.5, 0.7), (0.25, 0.9)])
@@ -44,7 +52,7 @@ def test_ohem_ce_matches_reference(mining_percent, threshold):
     targets = rng.randint(0, 5, (2, 12, 16)).astype(np.int64)
     targets[0, :3] = 255  # ignore region
 
-    ref_loss = REF.OhemCELoss(threshold=threshold, mining_percent=mining_percent, ignore_lb=255)(
+    ref_loss = REF_mod().OhemCELoss(threshold=threshold, mining_percent=mining_percent, ignore_lb=255)(
         torch.from_numpy(logits.transpose(0, 3, 1, 2)), torch.from_numpy(targets)
     )
     ours, _ = OhemCELoss(threshold=threshold, mining_percent=mining_percent, ignore_lb=255)(

@@ -50,6 +50,7 @@ def test_pose_loss_finite_and_differentiable():
     assert np.isfinite(gsum) and gsum > 0
 
 
+@pytest.mark.slow  # heavy e2e training — opt-in tier
 def test_pose_training_e2e(tmp_path):
     """Driver config 4 analogue: YOLO-NAS-POSE keypoint training + pose NMS."""
     model = models.get("yolo_nas_pose_n", image_size=64)

@@ -18,6 +18,7 @@ def test_ppyoloe_s_forward_and_predict():
     assert len(preds) == 1
 
 
+@pytest.mark.slow  # heavy e2e training — opt-in tier
 def test_ppyoloe_trains_with_ppyolo_loss(tmp_path):
     from super_gradients_tpu.training import dataloaders
     from super_gradients_tpu.training.trainer import Trainer

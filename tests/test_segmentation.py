@@ -85,6 +85,7 @@ def test_iou_metric_perfect_and_mixed():
     assert m2.compute(s2)["PixelAccuracy"] == pytest.approx(1.0)
 
 
+@pytest.mark.slow  # heavy e2e training — opt-in tier
 def test_segmentation_training_e2e(tmp_path):
     """Driver config 3 analogue: PP-LiteSeg/STDC Cityscapes-style training."""
     model = models.get("stdc1_seg", num_classes=4, input_hw=(64, 64))

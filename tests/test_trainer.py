@@ -29,6 +29,7 @@ def _quick_params(**over):
     return p
 
 
+@pytest.mark.slow  # heavy e2e training — opt-in tier
 def test_classification_training_learns(tmp_path):
     """Train tiny resnet on a learnable fake task: loss must drop, ckpts written."""
     model = models.get("resnet18_cifar", num_classes=3)

@@ -17,6 +17,7 @@ def test_yolox_s_forward_and_predict():
     assert len(preds) == 1
 
 
+@pytest.mark.slow  # heavy e2e training — opt-in tier
 def test_yolox_simota_loss_trains():
     from super_gradients_tpu.training.losses.yolox_loss import YoloXDetectionLoss
 
