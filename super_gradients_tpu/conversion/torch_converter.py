@@ -721,6 +721,36 @@ def dpn_key_mapper():
     return DPN_RULES
 
 
+# DEKR HRNet (dekr_hrnet.py:298-533): transition ModuleLists (nested Sequentials
+# for new branches), stage Sequentials of HighResolutionModules with
+# branches/fuse_layers grids, ModuleList heads
+DEKR_RULES: Rules = (
+    (r"^layer1_(\d)\.shortcut_conv$", r"layer1.\1.downsample.0"),
+    (r"^layer1_(\d)\.shortcut_bn$", r"layer1.\1.downsample.1"),
+    (r"^transition(\d)_(\d)_(\d)_conv$", r"transition\1.\2.\3.0"),
+    (r"^transition(\d)_(\d)_(\d)_bn$", r"transition\1.\2.\3.1"),
+    (r"^transition(\d)_(\d)_conv$", r"transition\1.\2.0"),
+    (r"^transition(\d)_(\d)_bn$", r"transition\1.\2.1"),
+    (r"^stage(\d)_m(\d)_branch(\d)_blk(\d)", r"stage\1.\2.branches.\3.\4"),
+    (r"^stage(\d)_m(\d)_fuse(\d)_(\d)_(\d)_bn$", r"stage\1.\2.fuse_layers.\3.\4.\5.1"),
+    (r"^stage(\d)_m(\d)_fuse(\d)_(\d)_(\d)$", r"stage\1.\2.fuse_layers.\3.\4.\5.0"),
+    (r"^stage(\d)_m(\d)_fuse(\d)_(\d)_bn$", r"stage\1.\2.fuse_layers.\3.\4.1"),
+    (r"^stage(\d)_m(\d)_fuse(\d)_(\d)$", r"stage\1.\2.fuse_layers.\3.\4.0"),
+    (r"^transition_heatmap_conv$", "transition_heatmap.0"),
+    (r"^transition_heatmap_bn$", "transition_heatmap.1"),
+    (r"^head_heatmap_blk(\d)", r"head_heatmap.0.\1"),
+    (r"^heatmap_pred$", "head_heatmap.1"),
+    (r"^transition_offset_conv$", "transition_offset.0"),
+    (r"^transition_offset_bn$", "transition_offset.1"),
+    (r"^offset_feat(\d+)_blk(\d)", r"offset_feature_layers.\1.\2"),
+    (r"^offset_pred(\d+)$", r"offset_final_layer.\1"),
+)
+
+
+def dekr_key_mapper():
+    return DEKR_RULES
+
+
 def vgg_key_mapper(cfg):
     """VGG features are one flat Sequential: 3 entries (Conv,BN,ReLU) per conv, 1
     per 'M' pool, trailing AvgPool (vgg.py:26-36). Map our conv_{i} to the flat

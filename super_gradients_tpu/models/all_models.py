@@ -711,9 +711,12 @@ def dekr_w32(num_classes=None, arch_params=None, image_size: int = 512, **kw) ->
     from super_gradients_tpu.models.class_names import COCO_POSE_EDGE_LINKS, COCO_POSE_KEYPOINTS
     from super_gradients_tpu.models.pose.dekr import DEKRConfig, DEKRPoseEstimationModel
 
+    from super_gradients_tpu.conversion.torch_converter import dekr_key_mapper
+
     arch_params = arch_params or {}
     nj = num_classes or arch_params.get("num_joints", 17)
-    cfg = DEKRConfig(num_joints=nj, width=arch_params.get("width", 32))
+    cfg = DEKRConfig(num_joints=nj, width=arch_params.get("width", 32),
+                     offset_block=arch_params.get("offset_block", "basic"))
     return ModelSpec(
         module=DEKRPoseEstimationModel(cfg),
         task="generic",  # DEKR decode is heatmap-based; use dekr_decode directly
@@ -721,6 +724,8 @@ def dekr_w32(num_classes=None, arch_params=None, image_size: int = 512, **kw) ->
         input_hw=(image_size, image_size),
         config=cfg,
         class_names=COCO_POSE_KEYPOINTS if nj == 17 else None,
+        torch_key_mapper=dekr_key_mapper,
+        init_hw=(128, 128),
     )
 
 

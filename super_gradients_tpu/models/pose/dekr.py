@@ -1,160 +1,192 @@
 """DEKR HRNet-W32 bottom-up pose estimation (flax, NHWC).
 
 Reference: ``pose_estimation_models/dekr_hrnet.py`` (732 LoC) — HRNet-W32 backbone
-(multi-resolution branches with fuse layers), DEKR heads: a heatmap branch
-(1 center + K keypoint heatmaps) and per-keypoint offset branches built on
-**deformable** adaptive convolutions (torchvision DeformConv2d at :138 — here the
-pure-XLA ``ops.deform_conv.deform_conv2d``).
+(stem → Bottleneck layer1 → 3 transition/stage pairs of HighResolutionModules
+with fuse layers) and DEKR heads: a heatmap branch (K joints + trailing center
+channel) and per-keypoint offset regression branches. This build mirrors the
+shipped ``dekr_w32_no_dc`` variant (pose_dekr_w32_no_dc_arch_params.yaml): BASIC
+offset blocks with dilation 5 replacing the deformable ADAPTIVE conv, which is
+also the exportable configuration. ``offset_block="adaptive"`` switches to the
+deformable path (ops.deform_conv) for the original DC architecture.
 
-Decode (ref DEKRPoseEstimationDecodeCallback): center heatmap peaks → per-center
-keypoint offsets → poses; implemented as fixed-k top-k (static shapes).
+Module naming mirrors the reference's attribute tree so checkpoints convert via
+``conversion/torch_converter.DEKR_RULES``.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Sequence, Tuple
+from typing import List, NamedTuple, Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from super_gradients_tpu.models.classification.resnet import BottleneckBlock
-from super_gradients_tpu.modules.blocks import ConvBNAct
 from super_gradients_tpu.ops.deform_conv import deform_conv2d
 
 
-class HRBasicBlock(nn.Module):
+class DEKRBasicBlock(nn.Module):
+    """ref dekr_hrnet.py:45-78 BasicBlock: two dilated 3x3 convs, residual, relu.
+    (Note the reference quirk: conv2 also uses `stride`; in every instantiation
+    stride==1 and inplanes==planes so the blocks are plain residual blocks.)"""
+
     planes: int
+    dilation: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = ConvBNAct(out_channels=self.planes, kernel=3, act="relu", name="conv1")(x, train=train)
-        y = ConvBNAct(out_channels=self.planes, kernel=3, act="identity", name="conv2")(y, train=train)
-        if x.shape[-1] != self.planes:
-            x = ConvBNAct(out_channels=self.planes, kernel=1, act="identity", name="shortcut")(x, train=train)
-        return nn.relu(x + y)
+        d = self.dilation
+        conv = lambda name: nn.Conv(self.planes, (3, 3), padding=((d, d), (d, d)),
+                                    kernel_dilation=(d, d), use_bias=False, name=name)
+        bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9, name=name)
+        y = nn.relu(bn("bn1")(conv("conv1")(x)))
+        y = bn("bn2")(conv("conv2")(y))
+        return nn.relu(y + x)
 
 
-class HRFuse(nn.Module):
-    """Multi-resolution fuse: every branch receives every other branch resampled."""
-
-    widths: Tuple[int, ...]
-
-    @nn.compact
-    def __call__(self, feats, train: bool = False):
-        out = []
-        for i, wi in enumerate(self.widths):
-            acc = None
-            for j, fj in enumerate(feats):
-                if j == i:
-                    y = fj
-                elif j < i:  # downsample j -> i with strided convs
-                    y = fj
-                    for s in range(i - j):
-                        last = s == i - j - 1
-                        y = ConvBNAct(
-                            out_channels=wi if last else self.widths[j], kernel=3, stride=2,
-                            act="identity" if last else "relu", name=f"down{j}to{i}_{s}",
-                        )(y, train=train)
-                else:  # upsample j -> i
-                    y = ConvBNAct(out_channels=wi, kernel=1, act="identity", name=f"up{j}to{i}")(fj, train=train)
-                    b, h, w, c = y.shape
-                    scale = 2 ** (j - i)
-                    y = jax.image.resize(y, (b, h * scale, w * scale, c), "nearest")
-                acc = y if acc is None else acc + y
-            out.append(nn.relu(acc))
-        return out
+def _conv_bn_relu(x, out_ch: int, name: str, train: bool, stride: int = 1, kernel: int = 3):
+    p = kernel // 2
+    x = nn.Conv(out_ch, (kernel, kernel), strides=(stride, stride),
+                padding=((p, p), (p, p)), use_bias=False, name=f"{name}_conv")(x)
+    x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name=f"{name}_bn")(x)
+    return nn.relu(x)
 
 
-class HRModule(nn.Module):
-    widths: Tuple[int, ...]
-    blocks_per_branch: int = 4
-
-    @nn.compact
-    def __call__(self, feats, train: bool = False):
-        feats = list(feats)
-        for bi, w in enumerate(self.widths):
-            y = feats[bi]
-            for k in range(self.blocks_per_branch):
-                y = HRBasicBlock(w, name=f"branch{bi}_block{k}")(y, train=train)
-            feats[bi] = y
-        return HRFuse(self.widths, name="fuse")(feats, train=train)
+# dekr_w32_no_dc spec (pose_dekr_w32_no_dc_arch_params.yaml SPEC.STAGES)
+_NUM_MODULES = (1, 4, 3)
+_NUM_BRANCHES = (2, 3, 4)
+_NUM_BLOCKS = 4
 
 
 @dataclasses.dataclass(frozen=True)
 class DEKRConfig:
     num_joints: int = 17
     width: int = 32  # HRNet-W32
-    stage_modules: Tuple[int, ...] = (1, 4, 3)  # modules in stages 2/3/4
+    stage_modules: Tuple[int, ...] = _NUM_MODULES
     offset_channels_per_joint: int = 15
+    heatmap_channels: int = 32
+    heatmap_blocks: int = 1
+    offset_blocks: int = 2
+    offset_dilation: int = 5
+    offset_block: str = "basic"  # basic (no_dc, exportable) | adaptive (deformable)
 
 
 class DEKROutputs(NamedTuple):
-    heatmaps: jnp.ndarray  # [B, H/4, W/4, 1 + K] (center + per-joint)
+    heatmaps: jnp.ndarray  # [B, H/4, W/4, K + 1] — joints, then the CENTER channel
     offsets: jnp.ndarray  # [B, H/4, W/4, 2K]
 
 
 class DEKRPoseEstimationModel(nn.Module):
-    """ref dekr_hrnet.py DEKRPoseEstimationModel."""
+    """ref dekr_hrnet.py:298-533 DEKRPoseEstimationModel (no-DC spec)."""
 
     cfg: DEKRConfig
+
+    def _hr_module(self, s: int, m: int, feats: List[jnp.ndarray], ch: Sequence[int], train: bool):
+        """One HighResolutionModule (ref :171-290): per-branch block stacks, then
+        the full fuse grid (1x1+up for j>i, strided 3x3 chains for j<i)."""
+        nb = len(ch)
+        feats = list(feats)
+        for b in range(nb):
+            y = feats[b]
+            for k in range(_NUM_BLOCKS):
+                y = DEKRBasicBlock(ch[b], name=f"stage{s}_m{m}_branch{b}_blk{k}")(y, train=train)
+            feats[b] = y
+
+        def fuse(i, j, y):
+            if j > i:  # 1x1 conv + BN + nearest upsample 2^(j-i)
+                y = nn.Conv(ch[i], (1, 1), use_bias=False, name=f"stage{s}_m{m}_fuse{i}_{j}")(y)
+                y = nn.BatchNorm(use_running_average=not train, momentum=0.9, name=f"stage{s}_m{m}_fuse{i}_{j}_bn")(y)
+                b_, h_, w_, c_ = y.shape
+                scale = 2 ** (j - i)
+                return jax.image.resize(y, (b_, h_ * scale, w_ * scale, c_), "nearest")
+            # j < i: chain of strided 3x3 conv+BN (+relu except last)
+            for k in range(i - j):
+                last = k == i - j - 1
+                out_ch = ch[i] if last else ch[j]
+                y = nn.Conv(out_ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                            use_bias=False, name=f"stage{s}_m{m}_fuse{i}_{j}_{k}")(y)
+                y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 name=f"stage{s}_m{m}_fuse{i}_{j}_{k}_bn")(y)
+                if not last:
+                    y = nn.relu(y)
+            return y
+
+        out = []
+        for i in range(nb):
+            acc = feats[0] if i == 0 else fuse(i, 0, feats[0])
+            for j in range(1, nb):
+                acc = acc + (feats[j] if i == j else fuse(i, j, feats[j]))
+            out.append(nn.relu(acc))
+        return out
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> DEKROutputs:
         c = self.cfg
         w = c.width
-        # stem: two stride-2 convs then 4 bottlenecks (stage1)
-        x = ConvBNAct(out_channels=64, kernel=3, stride=2, act="relu", name="stem1")(x, train=train)
-        x = ConvBNAct(out_channels=64, kernel=3, stride=2, act="relu", name="stem2")(x, train=train)
+        bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9, name=name)
+        # stem (ref :312-317): two stride-2 3x3 convs
+        x = nn.relu(bn("bn1")(nn.Conv(64, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)), use_bias=False, name="conv1")(x)))
+        x = nn.relu(bn("bn2")(nn.Conv(64, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)), use_bias=False, name="conv2")(x)))
         for i in range(4):
             x = BottleneckBlock(64, expansion=4, name=f"layer1_{i}")(x, train=train)
 
-        widths2 = (w, w * 2)
-        widths3 = (w, w * 2, w * 4)
-        widths4 = (w, w * 2, w * 4, w * 8)
+        stage_channels = [tuple(w * 2**b for b in range(nb)) for nb in _NUM_BRANCHES]
 
-        # transition1
-        f0 = ConvBNAct(out_channels=w, kernel=3, act="relu", name="trans1_0")(x, train=train)
-        f1 = ConvBNAct(out_channels=w * 2, kernel=3, stride=2, act="relu", name="trans1_1")(x, train=train)
-        feats = [f0, f1]
-        for m in range(c.stage_modules[0]):
-            feats = HRModule(widths2, name=f"stage2_m{m}")(feats, train=train)
-        # transition2: new branch from last
-        feats.append(ConvBNAct(out_channels=w * 4, kernel=3, stride=2, act="relu", name="trans2")(feats[-1], train=train))
-        for m in range(c.stage_modules[1]):
-            feats = HRModule(widths3, name=f"stage3_m{m}")(feats, train=train)
-        feats.append(ConvBNAct(out_channels=w * 8, kernel=3, stride=2, act="relu", name="trans3")(feats[-1], train=train))
-        for m in range(c.stage_modules[2]):
-            feats = HRModule(widths4, name=f"stage4_m{m}")(feats, train=train)
+        y_list = [x]
+        prev_ch = [256]
+        for si, ch in enumerate(stage_channels):
+            s = si + 2  # reference numbering: stage2..stage4 / transition1..3
+            x_list = []
+            for j in range(len(ch)):
+                if j < len(prev_ch) and ch[j] == prev_ch[j]:
+                    x_list.append(y_list[j])
+                elif j < len(prev_ch):
+                    x_list.append(_conv_bn_relu(y_list[-1], ch[j], f"transition{si + 1}_{j}", train))
+                else:  # new (lowest-resolution) branch from the previous last branch
+                    t = y_list[-1]
+                    for q in range(j + 1 - len(prev_ch)):
+                        out_ch = ch[j] if q == j - len(prev_ch) else prev_ch[-1]
+                        t = _conv_bn_relu(t, out_ch, f"transition{si + 1}_{j}_{q}", train, stride=2)
+                    x_list.append(t)
+            for m in range(c.stage_modules[si]):
+                x_list = self._hr_module(s, m, x_list, ch, train)
+            y_list = x_list
+            prev_ch = list(ch)
 
-        # concat all branches at 1/4 resolution
-        b, h4, w4, _ = feats[0].shape
-        ups = [feats[0]]
-        for j in range(1, 4):
-            y = feats[j]
-            scale = 2 ** j
+        # concat all branches at 1/4 resolution (ref :508-518, bilinear upsample)
+        b, h4, w4, _ = y_list[0].shape
+        ups = [y_list[0]]
+        for j in range(1, len(y_list)):
+            y = y_list[j]
             ups.append(jax.image.resize(y, (b, h4, w4, y.shape[-1]), "bilinear"))
         cat = jnp.concatenate(ups, axis=-1)  # [B, H/4, W/4, 15w]
 
-        # heatmap branch: 1 center + K joints
-        hm = ConvBNAct(out_channels=w, kernel=1, act="relu", name="heatmap_conv")(cat, train=train)
-        hm = HRBasicBlock(w, name="heatmap_block")(hm, train=train)
-        heatmaps = nn.Conv(1 + c.num_joints, (1, 1), name="heatmap_pred")(hm)
+        # heatmap head: transition (1x1 conv+bn+relu) → BASIC block(s) → 1x1 pred
+        hm = _conv_bn_relu(cat, c.heatmap_channels, "transition_heatmap", train, kernel=1)
+        for k in range(c.heatmap_blocks):
+            hm = DEKRBasicBlock(c.heatmap_channels, name=f"head_heatmap_blk{k}")(hm, train=train)
+        heatmaps = nn.Conv(c.num_joints + 1, (1, 1), name="heatmap_pred")(hm)
 
-        # offset branch: per-joint adaptive (deformable) regression
-        k = c.num_joints
+        # offset head: transition → per-joint block stacks → per-joint (dx, dy)
+        k_j = c.num_joints
         oc = c.offset_channels_per_joint
-        off_feat = ConvBNAct(out_channels=k * oc, kernel=1, act="relu", name="offset_conv")(cat, train=train)
-        per_joint = jnp.split(off_feat, k, axis=-1)
+        off = _conv_bn_relu(cat, k_j * oc, "transition_offset", train, kernel=1)
+        per_joint = jnp.split(off, k_j, axis=-1)
         offsets = []
         for j, fj in enumerate(per_joint):
-            # adaptive block: predict offsets for a deformable 3x3, then regress (dy, dx)
-            off_field = nn.Conv(18, (3, 3), padding=((1, 1), (1, 1)), kernel_init=nn.initializers.zeros, name=f"adapt_off_{j}")(fj)
-            kernel = self.param(f"adapt_kernel_{j}", nn.initializers.lecun_normal(), (3, 3, oc, oc))
-            fj = deform_conv2d(fj.astype(jnp.float32), off_field.astype(jnp.float32), kernel)
-            fj = nn.relu(nn.BatchNorm(use_running_average=not train, name=f"adapt_bn_{j}")(fj))
-            offsets.append(nn.Conv(2, (1, 1), name=f"offset_pred_{j}")(fj))
+            if c.offset_block == "adaptive":
+                # deformable ADAPTIVE path (ref AdaptBlock :123-168, DC variant)
+                off_field = nn.Conv(18, (3, 3), padding=((1, 1), (1, 1)),
+                                    kernel_init=nn.initializers.zeros, name=f"adapt_off_{j}")(fj)
+                kern = self.param(f"adapt_kernel_{j}", nn.initializers.lecun_normal(), (3, 3, oc, oc))
+                fj = deform_conv2d(fj.astype(jnp.float32), off_field.astype(jnp.float32), kern)
+                fj = nn.relu(nn.BatchNorm(use_running_average=not train, name=f"adapt_bn_{j}")(fj))
+            else:
+                for k in range(c.offset_blocks):
+                    fj = DEKRBasicBlock(oc, dilation=c.offset_dilation,
+                                        name=f"offset_feat{j}_blk{k}")(fj, train=train)
+            offsets.append(nn.Conv(2, (1, 1), name=f"offset_pred{j}")(fj))
         offsets = jnp.concatenate(offsets, axis=-1)  # [B, H/4, W/4, 2K]
         return DEKROutputs(heatmaps=heatmaps, offsets=offsets)
 
@@ -165,7 +197,8 @@ def dekr_decode(outputs: DEKROutputs, max_people: int = 30, center_threshold: fl
     Returns (poses [B, max_people, K, 3], scores [B, max_people]).
     """
     hm = jax.nn.sigmoid(outputs.heatmaps.astype(jnp.float32))
-    center = hm[..., 0]  # [B, H, W]
+    # channel layout matches the reference/targets: joints first, CENTER last
+    center = hm[..., -1]  # [B, H, W]
     b, h, w = center.shape
     k = outputs.offsets.shape[-1] // 2
 
@@ -180,7 +213,7 @@ def dekr_decode(outputs: DEKROutputs, max_people: int = 30, center_threshold: fl
     px = (cx[:, :, None] + sel[..., 0]) * 4.0
     py = (cy[:, :, None] + sel[..., 1]) * 4.0
 
-    joint_hm = hm[..., 1:].reshape(b, h * w, k)
+    joint_hm = hm[..., :-1].reshape(b, h * w, k)
     # keypoint confidence: joint heatmap at the rounded keypoint location
     jx = jnp.clip(jnp.round(px / 4.0), 0, w - 1).astype(jnp.int32)
     jy = jnp.clip(jnp.round(py / 4.0), 0, h - 1).astype(jnp.int32)

@@ -341,10 +341,20 @@ def _install_external_stubs():
                     _deep_merge(merged, cfg)
                 return merged
 
+            class _AttrDict(dict):
+                """Nested configs need BOTH attr and item access (omegaconf
+                DictConfig semantics — e.g. DEKR's arch_params.SPEC.STAGES)."""
+
+                def __getattr__(self, k):
+                    try:
+                        return self[k]
+                    except KeyError:
+                        raise AttributeError(k)
+
             def _coerce(v):
                 # YAML 1.1 reads `1e-3` as a string; omegaconf coerces — match that
                 if isinstance(v, dict):
-                    return {k: _coerce(x) for k, x in v.items()}
+                    return _AttrDict({k: _coerce(x) for k, x in v.items()})
                 if isinstance(v, list):
                     return [_coerce(x) for x in v]
                 if isinstance(v, str):

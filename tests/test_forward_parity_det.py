@@ -71,3 +71,24 @@ def test_yolo_nas_pose_s_forward_parity():
     ref = m.YoloNASPose_S(_hp())
     mine = model_factory.get("yolo_nas_pose_s")
     parity_utils.pose_parity(ref, mine, input_hw=(64, 64), rules=YOLO_NAS_POSE_RULES)
+
+
+def test_dekr_w32_no_dc_forward_parity():
+    import numpy as np
+    import torch
+
+    from super_gradients_tpu.conversion.torch_converter import DEKR_RULES
+
+    m = ref_loader.load_ref_module("super_gradients.training.models.pose_estimation_models.dekr_hrnet")
+    ref = parity_utils.randomize_reference(m.DEKRW32NODC(_hp(num_classes=17)), input_hw=(128, 128))
+    mine = model_factory.get("dekr_w32_no_dc", num_classes=17)
+    parity_utils.convert_into(ref, mine, DEKR_RULES)
+
+    x = (np.random.RandomState(0).rand(1, 128, 128, 3).astype(np.float32) - 0.5)
+    with torch.no_grad():
+        hm_ref, off_ref = ref(parity_utils.to_nchw(x))
+    import jax.numpy as jnp
+
+    out = mine.apply(jnp.asarray(x), train=False)
+    parity_utils.assert_close(np.asarray(out.heatmaps).transpose(0, 3, 1, 2), hm_ref.numpy(), name="heatmaps")
+    parity_utils.assert_close(np.asarray(out.offsets).transpose(0, 3, 1, 2), off_ref.numpy(), name="offsets")
