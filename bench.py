@@ -48,7 +48,7 @@ def build_program(model):
         return batched_nms(
             out.pred_bboxes.astype(jnp.float32), out.pred_scores.astype(jnp.float32),
             score_threshold=0.25, iou_threshold=0.7,
-            nms_top_k=1024, max_predictions=300, mode="fast",
+            nms_top_k=1024, max_predictions=300, mode="fast", iou_dtype=jnp.bfloat16,
         )
 
     return jax.jit(predict_program)
