@@ -441,6 +441,65 @@ def mobilenet_v2_key_mapper():
     return MOBILENET_V2_RULES
 
 
+# SSD assemblies (ref detection_models/ssd.py:20-57 + modules/detection_modules.py).
+# The torch trunk lives under backbone.multi_output_backbone.0 (MultiOutputModule
+# stores the wrapped module at key "0" — multi_output_modules.py:47).
+_SSD_BB = "backbone.multi_output_backbone.0"
+
+# SSDBottleneckNeck block Sequential: [conv1x1, BN, ReLU, convK, BN, ReLU]
+_SSD_V1_NECK_IDX = {"conv1": 0, "bn1": 1, "conv2": 3, "bn2": 4}
+
+
+def _ssd_v1_neck(m):
+    return f"neck.neck_blocks.{m.group(1)}.{_SSD_V1_NECK_IDX[m.group(2)]}"
+
+
+SSD_V1_RULES: Rules = (
+    (r"^(conv1|bn1)$", _SSD_BB + r".\1"),
+    (r"^layers_(\d+)_(conv\d|bn\d)$", _SSD_BB + r".layers.\1.\2"),
+    (r"^neck_(\d+)_(conv\d|bn\d)$", _ssd_v1_neck),
+    (r"^(loc|conf)_(\d+)$", r"heads.\1.\2"),
+)
+
+
+def ssd_mobilenet_v1_key_mapper():
+    return SSD_V1_RULES
+
+
+def _ssd_v2_block_index(m):
+    # same Sequential layout as the classifier (mobilenetv2.py:70-93), prefixed
+    return _SSD_BB + "." + _mnv2_block_index(m)
+
+
+# SSDInvertedResidualNeck blocks always have a pw-expand (fractional expand_ratio)
+_SSD_V2_NECK_IDX = {("expand", "conv"): 0, ("expand", "bn"): 1,
+                    ("depthwise", "conv"): 3, ("depthwise", "bn"): 4,
+                    ("project", "conv"): 6, ("project", "bn"): 7}
+
+
+def _ssd_v2_neck(m):
+    return f"neck.neck_blocks.{m.group(1)}.conv.{_SSD_V2_NECK_IDX[(m.group(2), m.group(3))]}"
+
+
+SSD_LITE_V2_RULES: Rules = (
+    (r"^block_(\d+)\.(expand|depthwise|project)\.(conv|bn)$", _ssd_v2_block_index),
+    (r"^stem\.conv$", _SSD_BB + ".features.0.0"),
+    (r"^stem\.bn$", _SSD_BB + ".features.0.1"),
+    (r"^head_conv\.conv$", _SSD_BB + ".features.18.0"),
+    (r"^head_conv\.bn$", _SSD_BB + ".features.18.1"),
+    (r"^neck_(\d+)\.(expand|depthwise|project)\.(conv|bn)$", _ssd_v2_neck),
+    # lite SSDHead SeperableConv2d: [dw conv(+bias), BN, ReLU, pw conv]
+    (r"^(loc|conf)_(\d+)_dw$", r"heads.\1.\2.0"),
+    (r"^(loc|conf)_(\d+)_dwbn$", r"heads.\1.\2.1"),
+    (r"^(loc|conf)_(\d+)_pw$", r"heads.\1.\2.3"),
+    (r"^(loc|conf)_(\d+)$", r"heads.\1.\2"),
+)
+
+
+def ssd_lite_mobilenet_v2_key_mapper():
+    return SSD_LITE_V2_RULES
+
+
 def _mnv3_block_index(m):
     """MobileNetV3 InvertedResidual conv Sequential indices (mobilenetv3.py:86-113):
     expand blocks are [pw,bn,act,dw,bn,SE,act,pwl,bn]; the (only) no-expand block 0

@@ -593,6 +593,7 @@ for _v in ["yolox_n", "yolox_t", "yolox_s", "yolox_m", "yolox_l"]:
 
 @register_model("ssd_lite_mobilenet_v2")
 def ssd_lite_mobilenet_v2(num_classes=None, arch_params=None, image_size: int = 320, **kw) -> ModelSpec:
+    from super_gradients_tpu.conversion.torch_converter import ssd_lite_mobilenet_v2_key_mapper
     from super_gradients_tpu.models.detection.ssd import SSDConfig, SSDLiteMobileNetV2
 
     nc = num_classes or (arch_params or {}).get("num_classes", 80)
@@ -605,6 +606,7 @@ def ssd_lite_mobilenet_v2(num_classes=None, arch_params=None, image_size: int = 
         config=cfg,
         processing=default_yolo_nas_coco_processing(image_size),
         class_names=COCO_DETECTION_CLASSES_LIST if nc == 80 else None,
+        torch_key_mapper=ssd_lite_mobilenet_v2_key_mapper,
     )
 
 
@@ -1091,18 +1093,20 @@ def yolox_x(num_classes=None, arch_params=None, **kw):
 
 @register_model("ssd_mobilenet_v1")
 def ssd_mobilenet_v1(num_classes=None, arch_params=None, image_size: int = 320, **kw):
-    from super_gradients_tpu.models.detection.ssd import SSDConfig, SSDLiteMobileNetV2
+    from super_gradients_tpu.conversion.torch_converter import ssd_mobilenet_v1_key_mapper
+    from super_gradients_tpu.models.detection.ssd import SSDMobileNetV1, v1_config
 
     nc = num_classes or (arch_params or {}).get("num_classes", 80)
-    cfg = SSDConfig(num_classes=nc, fig_size=image_size)
+    cfg = v1_config(num_classes=nc, fig_size=image_size)
     return ModelSpec(
-        module=SSDLiteMobileNetV2(cfg, backbone="mobilenet_v1"),
+        module=SSDMobileNetV1(cfg),
         task="detection",
         num_classes=nc,
         input_hw=(image_size, image_size),
         config=cfg,
         processing=default_yolo_nas_coco_processing(image_size),
         class_names=COCO_DETECTION_CLASSES_LIST if nc == 80 else None,
+        torch_key_mapper=ssd_mobilenet_v1_key_mapper,
     )
 
 

@@ -37,6 +37,9 @@ class InvertedResidual(nn.Module):
     # activation (ref mobilenetv3.py:98-113: conv, bn, SE, act); no-expand blocks
     # and MobileNetV2 activate first (ref :86-97)
     se_before_act: bool = False
+    # also return the post-activation expanded features — SSD-lite taps
+    # ['features', 14, 'conv', 2] (ssd_lite_mobilenetv2_arch_params.yaml)
+    tap_expand: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -46,6 +49,7 @@ class InvertedResidual(nn.Module):
         expanded = self.expand_ratio != 1
         if expanded:
             y = ConvBNAct(out_channels=hidden, kernel=1, act=self.act, name="expand")(y, train=train)
+        expand_feats = y
         dw_act = "identity" if (self.se_before_act and expanded) else self.act
         y = ConvBNAct(out_channels=hidden, kernel=self.kernel, stride=self.stride, groups=hidden, act=dw_act, name="depthwise")(y, train=train)
         if self.se_ratio:
@@ -55,6 +59,8 @@ class InvertedResidual(nn.Module):
         y = ConvBNAct(out_channels=self.out_channels, kernel=1, act="identity", name="project")(y, train=train)
         if self.stride == 1 and cin == self.out_channels:
             y = y + x
+        if self.tap_expand:
+            return y, expand_feats
         return y
 
 

@@ -23,6 +23,9 @@ def randomize_reference(net: torch.nn.Module, seed: int = 0, n_stats_batches: in
     """
     torch.manual_seed(seed)
     for p in net.parameters():
+        if not p.is_floating_point() or not p.requires_grad:
+            # frozen/integer buffers-as-Parameters (e.g. SSDHead dboxes/img_size)
+            continue
         with torch.no_grad():
             # small scale keeps deep nets numerically tame in fp32
             p.add_(torch.randn_like(p) * 0.01)

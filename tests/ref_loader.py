@@ -399,7 +399,25 @@ def _install_external_stubs():
     # ---------------- hydra (only config-path machinery; models rarely touch it)
     if "hydra" not in sys.modules:
         hy = _mod("hydra", main=_passthrough_decorator)
-        _mod("hydra.utils", instantiate=lambda cfg, **kw: cfg)
+
+        def _hydra_instantiate(cfg, **kw):
+            """Recursive ``_target_`` instantiation (what arch_params_factory.py:23
+            relies on — e.g. SSD's DefaultBoxes anchors)."""
+            if isinstance(cfg, list):
+                return [_hydra_instantiate(v) for v in cfg]
+            if isinstance(cfg, dict):
+                out = {k: _hydra_instantiate(v) for k, v in cfg.items()}
+                target = out.pop("_target_", None)
+                if target is None:
+                    return type(cfg)(out)  # preserve _AttrDict
+                import importlib as _il
+
+                mod_name, _, attr = target.rpartition(".")
+                obj = getattr(load_ref_module(mod_name) if mod_name.startswith("super_gradients") else _il.import_module(mod_name), attr)
+                return obj(**out, **kw)
+            return cfg
+
+        _mod("hydra.utils", instantiate=_hydra_instantiate)
         _mod("hydra.core")
         _mod("hydra.core.global_hydra", GlobalHydra=SimpleNamespace(instance=lambda: SimpleNamespace(clear=lambda: None)))
         _mod("hydra.experimental")

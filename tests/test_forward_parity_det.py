@@ -73,6 +73,42 @@ def test_yolo_nas_pose_s_forward_parity():
     parity_utils.pose_parity(ref, mine, input_hw=(64, 64), rules=YOLO_NAS_POSE_RULES)
 
 
+def test_ssd_mobilenet_v1_forward_parity():
+    import torch
+
+    from super_gradients_tpu.conversion.torch_converter import SSD_V1_RULES
+
+    m = ref_loader.load_ref_module("super_gradients.training.models.detection_models.ssd")
+    ref = m.SSDMobileNetV1(_hp(num_classes=7))
+    mine = model_factory.get("ssd_mobilenet_v1", num_classes=7)
+
+    def ref_out_fn(o):
+        out = o[0]  # [B, A, cx cy w h obj cls...] px (detection_modules.py:391-410)
+        cx, cy, w, h = out[..., 0], out[..., 1], out[..., 2], out[..., 3]
+        boxes = torch.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], dim=-1)
+        return boxes, out[..., 5:]
+
+    parity_utils.detection_parity(ref, mine, input_hw=(320, 320), rules=SSD_V1_RULES, ref_out_fn=ref_out_fn)
+
+
+def test_ssd_lite_mobilenet_v2_forward_parity():
+    import torch
+
+    from super_gradients_tpu.conversion.torch_converter import SSD_LITE_V2_RULES
+
+    m = ref_loader.load_ref_module("super_gradients.training.models.detection_models.ssd")
+    ref = m.SSDLiteMobileNetV2(_hp(num_classes=6))
+    mine = model_factory.get("ssd_lite_mobilenet_v2", num_classes=6)
+
+    def ref_out_fn(o):
+        out = o[0]
+        cx, cy, w, h = out[..., 0], out[..., 1], out[..., 2], out[..., 3]
+        boxes = torch.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], dim=-1)
+        return boxes, out[..., 5:]
+
+    parity_utils.detection_parity(ref, mine, input_hw=(320, 320), rules=SSD_LITE_V2_RULES, ref_out_fn=ref_out_fn)
+
+
 def test_dekr_w32_no_dc_forward_parity():
     import numpy as np
     import torch
