@@ -82,7 +82,9 @@ def _transform(value: np.ndarray, flax_leaf_shape: Tuple[int, ...], path: Tuple[
     parent = path[-2] if len(path) > 1 else ""
     if leaf == "kernel":
         if value.ndim == 4:
-            if "upsample" in parent:  # ConvTranspose2d [in,out,kh,kw] -> [kh,kw,in,out]
+            if "upsample" in parent or "up_conv_list" in parent:
+                # ConvTranspose2d [in,out,kh,kw] -> [kh,kw,in,out] (yolo_nas neck
+                # upsample / ShelfNetHW up_conv_list)
                 out = value.transpose(2, 3, 0, 1)
             else:  # Conv2d OIHW -> HWIO
                 out = value.transpose(2, 3, 1, 0)
@@ -439,6 +441,20 @@ MOBILENET_V2_RULES: Rules = (
 
 def mobilenet_v2_key_mapper():
     return MOBILENET_V2_RULES
+
+
+# ShelfNet (ref segmentation_models/shelfnet.py): the trunk is a plain reference
+# ResNet under `backbone`; ConvBNReLU/ARM/NetOutput attribute names match the flax
+# module names directly, so only the stem + FCNHead Sequential need rules.
+SHELFNET_RULES: Rules = RESNET_RULES + (
+    (r"^backbone\.conv1\.conv$", "backbone.conv1"),
+    (r"^backbone\.conv1\.bn$", "backbone.bn1"),
+    (r"^aux_head_fcn", "aux_head.fcn"),
+)
+
+
+def shelfnet_key_mapper():
+    return SHELFNET_RULES
 
 
 # SSD assemblies (ref detection_models/ssd.py:20-57 + modules/detection_modules.py).

@@ -777,13 +777,24 @@ def beit_large(num_classes=None, arch_params=None, **kw):
     return _cls_spec(BEiT(num_classes=nc, dim=1024, depth=24, heads=16), nc, torch_key_mapper=beit_key_mapper)
 
 
-@register_model("shelfnet18_lw")
-@register_model("shelfnet34_lw")
-def shelfnet_lw(num_classes=None, arch_params=None, input_hw=(512, 1024), **kw):
+def _shelfnet_spec(variant, num_classes=None, arch_params=None, input_hw=(512, 1024), **kw):
+    from super_gradients_tpu.conversion.torch_converter import shelfnet_key_mapper
     from super_gradients_tpu.models.segmentation.shelfnet_laddernet import ShelfNet, ShelfNetCfg
 
     nc = num_classes or 19
-    return _seg_spec(ShelfNet(ShelfNetCfg(num_classes=nc)), nc, tuple(input_hw))
+    cfg = ShelfNetCfg(num_classes=nc, variant=variant,
+                      aux_outputs=bool((arch_params or {}).get("aux_outputs", False)))
+    return _seg_spec(ShelfNet(cfg), nc, tuple(input_hw), cfg, torch_key_mapper=shelfnet_key_mapper)
+
+
+@register_model("shelfnet18_lw")
+def shelfnet18_lw(num_classes=None, arch_params=None, input_hw=(512, 1024), **kw):
+    return _shelfnet_spec("18_lw", num_classes, arch_params, input_hw, **kw)
+
+
+@register_model("shelfnet34_lw")
+def shelfnet34_lw(num_classes=None, arch_params=None, input_hw=(512, 1024), **kw):
+    return _shelfnet_spec("34_lw", num_classes, arch_params, input_hw, **kw)
 
 
 @register_model("laddernet_50")
@@ -1110,23 +1121,19 @@ def ssd_mobilenet_v1(num_classes=None, arch_params=None, image_size: int = 320, 
     )
 
 
-def _shelfnet_deep(blocks, num_classes=None, input_hw=(512, 1024), **kw):
-    from super_gradients_tpu.models.segmentation.shelfnet_laddernet import ShelfNet, ShelfNetCfg
-
-    nc = num_classes or 19
-    cfg = ShelfNetCfg(num_classes=nc, backbone_blocks=blocks, block="bottleneck")
-    return _seg_spec(ShelfNet(cfg), nc, tuple(input_hw), cfg)
-
-
 @register_model("shelfnet50")
-@register_model("shelfnet50_3343")
 def shelfnet50(num_classes=None, arch_params=None, input_hw=(512, 1024), **kw):
-    return _shelfnet_deep((3, 4, 6, 3), num_classes, input_hw, **kw)
+    return _shelfnet_spec("50", num_classes, arch_params, input_hw, **kw)
+
+
+@register_model("shelfnet50_3343")
+def shelfnet50_3343(num_classes=None, arch_params=None, input_hw=(512, 1024), **kw):
+    return _shelfnet_spec("50_3343", num_classes, arch_params, input_hw, **kw)
 
 
 @register_model("shelfnet101")
 def shelfnet101(num_classes=None, arch_params=None, input_hw=(512, 1024), **kw):
-    return _shelfnet_deep((3, 4, 23, 3), num_classes, input_hw, **kw)
+    return _shelfnet_spec("101", num_classes, arch_params, input_hw, **kw)
 
 
 for _v in ["segformer_b3", "segformer_b4", "segformer_b5"]:

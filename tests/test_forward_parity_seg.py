@@ -56,3 +56,58 @@ def test_regseg48_forward_parity():
     ref = m.RegSeg48(_hp(num_classes=7))
     mine = model_factory.get("regseg48", num_classes=7)
     parity_utils.segmentation_parity(ref, mine, input_hw=(128, 256), rules=REGSEG_RULES)
+
+
+def test_shelfnet18_lw_forward_parity():
+    """All three NetOutput heads (ref shelfnet.py:573-607, auxilary_head_outputs=True)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from super_gradients_tpu.conversion.torch_converter import SHELFNET_RULES
+
+    m = ref_loader.load_ref_module("super_gradients.training.models.segmentation_models.shelfnet")
+    ref = parity_utils.randomize_reference(m.ShelfNet18_LW(arch_params=_hp(num_classes=7)), input_hw=(128, 256))
+    mine = model_factory.get("shelfnet18_lw", num_classes=7, input_hw=(128, 256), arch_params={"aux_outputs": True})
+    parity_utils.convert_into(ref, mine, SHELFNET_RULES)
+
+    x = (np.random.RandomState(0).rand(1, 128, 256, 3).astype(np.float32) - 0.5)
+    with torch.no_grad():
+        ref_outs = ref(parity_utils.to_nchw(x))
+    got_outs = mine.apply(jnp.asarray(x), train=False)
+    assert len(ref_outs) == len(got_outs) == 3
+    for i, (g, r) in enumerate(zip(got_outs, ref_outs)):
+        parity_utils.assert_close(np.asarray(g).transpose(0, 3, 1, 2), r.numpy(), name=f"head{i}")
+
+
+def test_shelfnet34_lw_forward_parity():
+    from super_gradients_tpu.conversion.torch_converter import SHELFNET_RULES
+
+    m = ref_loader.load_ref_module("super_gradients.training.models.segmentation_models.shelfnet")
+    ref = m.ShelfNet34_LW(arch_params=_hp(num_classes=7))
+    mine = model_factory.get("shelfnet34_lw", num_classes=7, input_hw=(128, 256))
+    parity_utils.segmentation_parity(ref, mine, input_hw=(128, 256), rules=SHELFNET_RULES)
+
+
+def test_shelfnet50_reference_is_broken_ours_works():
+    """No forward golden is POSSIBLE for the HW variants: the reference's
+    ShelfResNetBackBone (shelfnet.py:82) never passes ``expansion=4`` to ResNet,
+    so ``_make_layer`` (resnet.py:179-193) tracks ``in_planes`` with expansion 1
+    while Bottleneck outputs 4x — ShelfNet50/101/50_3343 crash on any forward
+    upstream. This test pins that fact and checks our as-intended HW assembly
+    (main + SE-linear + FCNHead aux) runs."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+    import torch
+
+    m = ref_loader.load_ref_module("super_gradients.training.models.segmentation_models.shelfnet")
+    ref = m.ShelfNet50(arch_params=_hp(num_classes=7))
+    ref.eval()
+    with pytest.raises(RuntimeError, match="expected input"):
+        with torch.no_grad():
+            ref(torch.randn(1, 3, 128, 256))
+
+    mine = model_factory.get("shelfnet50", num_classes=7, input_hw=(128, 256), arch_params={"aux_outputs": True})
+    outs = mine.apply(jnp.asarray(np.zeros((1, 128, 256, 3), np.float32)), train=False)
+    assert len(outs) == 3 and outs[0].shape == (1, 128, 256, 7) and outs[1].shape == (1, 7)
