@@ -457,6 +457,16 @@ def shelfnet_key_mapper():
     return SHELFNET_RULES
 
 
+# MobileNetV1 classifier (ref classification_models/mobilenet.py:13-64)
+MOBILENET_V1_RULES: Rules = (
+    (r"^layers_(\d+)_(conv\d|bn\d)$", r"layers.\1.\2"),
+)
+
+
+def mobilenet_v1_key_mapper():
+    return MOBILENET_V1_RULES
+
+
 # SSD assemblies (ref detection_models/ssd.py:20-57 + modules/detection_modules.py).
 # The torch trunk lives under backbone.multi_output_backbone.0 (MultiOutputModule
 # stores the wrapped module at key "0" — multi_output_modules.py:47).

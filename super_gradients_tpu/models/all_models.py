@@ -391,10 +391,13 @@ def mobilenet_v3_small(num_classes=None, arch_params=None, **kw):
 
 @register_model("mobilenet_v1")
 def mobilenet_v1(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.conversion.torch_converter import mobilenet_v1_key_mapper
     from super_gradients_tpu.models.classification.mobilenet import MobileNetV1
 
-    nc = num_classes or 1000
-    return _cls_spec(MobileNetV1(num_classes=nc), nc)
+    nc = num_classes or (arch_params or {}).get("num_classes", 10)
+    # the reference model (mobilenet.py:33) is CIFAR-sized: 2x2 avg-pool head
+    return _cls_spec(MobileNetV1(num_classes=nc), nc, input_hw=(64, 64),
+                     torch_key_mapper=mobilenet_v1_key_mapper)
 
 
 def _efficientnet(variant, num_classes=None, arch_params=None, **kw):

@@ -155,19 +155,31 @@ class MobileNetV3(nn.Module):
 
 
 class MobileNetV1(nn.Module):
-    """ref mobilenet.py — depthwise-separable stack."""
+    """ref mobilenet.py:13-64 MobileNet: conv1/bn1 stem + 13 dw/pw Blocks
+    (conv1=depthwise, conv2=pointwise, each with its BN), then the reference's
+    2x2 avg-pool + flatten + linear head (NOT global pool — the model is sized
+    for ~64px inputs, CIFAR-style; flax sizes the Dense lazily so other inputs
+    still work, but checkpoint parity holds at 64px)."""
 
     num_classes: int = 1000
+    backbone_mode: bool = False
 
-    CFG: Tuple = (64, (128, 2), 128, (256, 2), 256, (512, 2), 512, 512, 512, 512, 512, (1024, 2), 1024)
+    CFG: Tuple = (64, 128, (128, 2), 256, (256, 2), 512, 512, 512, 512, 512, (512, 2), 1024, (1024, 2))
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ConvBNAct(out_channels=32, kernel=3, stride=2, act="relu", name="stem")(x, train=train)
+        bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9, name=name)
+        x = nn.relu(bn("bn1")(nn.Conv(32, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)), use_bias=False, name="conv1")(x)))
         for i, c in enumerate(self.CFG):
             out, s = (c, 1) if isinstance(c, int) else c
             cin = x.shape[-1]
-            x = ConvBNAct(out_channels=cin, kernel=3, stride=s, groups=cin, act="relu", name=f"dw_{i}")(x, train=train)
-            x = ConvBNAct(out_channels=out, kernel=1, act="relu", name=f"pw_{i}")(x, train=train)
-        x = jnp.mean(x, axis=(1, 2))
-        return nn.Dense(self.num_classes, name="fc")(x)
+            x = nn.Conv(cin, (3, 3), strides=(s, s), padding=((1, 1), (1, 1)), feature_group_count=cin,
+                        use_bias=False, name=f"layers_{i}_conv1")(x)
+            x = nn.relu(bn(f"layers_{i}_bn1")(x))
+            x = nn.Conv(out, (1, 1), use_bias=False, name=f"layers_{i}_conv2")(x)
+            x = nn.relu(bn(f"layers_{i}_bn2")(x))
+        if self.backbone_mode:
+            return x
+        x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        x = x.reshape(x.shape[0], -1)
+        return nn.Dense(self.num_classes, name="linear")(x)

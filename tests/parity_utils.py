@@ -61,6 +61,24 @@ def assert_close(got, ref, atol=5e-4, rtol=5e-3, name="output"):
     assert tight.mean() > 0.97, f"{name}: only {tight.mean():.1%} of elements within tight tolerance"
 
 
+class bare_module:
+    """Minimal SgModel-like shim (variables/apply/update_variables) for goldens
+    of modules that have no zoo entry of their own (e.g. backbone_mode trunks)."""
+
+    def __init__(self, module, input_hw=(64, 64), in_ch=3):
+        import jax
+        import jax.numpy as jnp
+
+        self.module = module
+        self.variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, *input_hw, in_ch)), train=False)
+
+    def update_variables(self, variables):
+        self.variables = variables
+
+    def apply(self, x, train=False):
+        return self.module.apply(self.variables, x, train=train)
+
+
 def convert_into(ref_net, model, rules, strict=True):
     from super_gradients_tpu.conversion.torch_converter import convert_state_dict
 

@@ -161,3 +161,31 @@ def test_dpn26_forward_parity():
     ref = m.DPN26()
     mine = model_factory.get("dpn26", num_classes=10)
     parity_utils.classification_parity(ref, mine, input_hw=(32, 32), rules=DPN_RULES)
+
+
+def test_mobilenet_v1_backbone_forward_parity():
+    """The reference MobileNet classifier head is broken upstream
+    (mobilenet.py:41: nn.Linear(self.cfg[-1], ...) where cfg[-1] is the tuple
+    (1024, 2)) and it is never registered as a standalone classifier — only
+    consumed in backbone_mode by SSD (detection_modules.py:222). Pin the
+    breakage and golden the backbone features instead."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+    import torch
+
+    from super_gradients_tpu.conversion.torch_converter import MOBILENET_V1_RULES
+    from super_gradients_tpu.models.classification.mobilenet import MobileNetV1
+
+    m = ref_loader.load_ref_module("super_gradients.training.models.classification_models.mobilenet")
+    with pytest.raises(TypeError):
+        m.MobileNet(num_classes=10)
+
+    ref = parity_utils.randomize_reference(m.MobileNet(backbone_mode=True), input_hw=(64, 64))
+    mine = parity_utils.bare_module(MobileNetV1(backbone_mode=True), input_hw=(64, 64))
+    parity_utils.convert_into(ref, mine, MOBILENET_V1_RULES)
+    x = (np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32) - 0.5)
+    with torch.no_grad():
+        ref_out = ref(parity_utils.to_nchw(x)).numpy()
+    got = np.asarray(mine.apply(jnp.asarray(x), train=False)).transpose(0, 3, 1, 2)
+    parity_utils.assert_close(got, ref_out)
