@@ -467,6 +467,21 @@ def mobilenet_v1_key_mapper():
     return MOBILENET_V1_RULES
 
 
+# STDC classification (ref stdc.py:237-299): same backbone as the seg model but
+# NOT nested under `cp.`, plus conv_last/fc/linear head
+STDC_CLS_RULES: Rules = (
+    (r"^backbone\.block_s(\d+)_0\.conv_list_1_dw\.(conv|bn)$", r"backbone.stages.block§s\1.0.conv_list.1.0.seq.\2"),
+    (r"^backbone\.block_s(\d+)_0\.conv_list_1\.(conv|bn)$", r"backbone.stages.block§s\1.0.conv_list.1.1.seq.\2"),
+    (r"^backbone\.block_s(\d+)_(\d+)\.conv_list_(\d+)\.(conv|bn)$", r"backbone.stages.block§s\1.\2.conv_list.\3.seq.\4"),
+    (r"^backbone\.block_s(\d+)_(\d+)\.(conv|bn)$", r"backbone.stages.block§s\1.\2.seq.\3"),
+    (r"^conv_last\.(conv|bn)$", r"conv_last.seq.\1"),
+)
+
+
+def stdc_cls_key_mapper():
+    return STDC_CLS_RULES
+
+
 # SSD assemblies (ref detection_models/ssd.py:20-57 + modules/detection_modules.py).
 # The torch trunk lives under backbone.multi_output_backbone.0 (MultiOutputModule
 # stores the wrapped module at key "0" — multi_output_modules.py:47).

@@ -943,11 +943,13 @@ def csp_darknet53(num_classes=None, arch_params=None, **kw):
 
 
 def _stdc_cls(cfg, num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.conversion.torch_converter import stdc_cls_key_mapper
     from super_gradients_tpu.models.segmentation.stdc import STDCClassification
 
     ap = arch_params or {}
     nc = num_classes or ap.get("num_classes", 1000)
-    return _cls_spec(STDCClassification(backbone_cfg=cfg, num_classes=nc, dropout=ap.get("dropout", 0.2)), nc)
+    return _cls_spec(STDCClassification(backbone_cfg=cfg, num_classes=nc, dropout=ap.get("dropout", 0.2)), nc,
+                     torch_key_mapper=stdc_cls_key_mapper)
 
 
 @register_model("stdc1_classification")

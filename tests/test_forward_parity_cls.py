@@ -189,3 +189,21 @@ def test_mobilenet_v1_backbone_forward_parity():
         ref_out = ref(parity_utils.to_nchw(x)).numpy()
     got = np.asarray(mine.apply(jnp.asarray(x), train=False)).transpose(0, 3, 1, 2)
     parity_utils.assert_close(got, ref_out)
+
+
+def test_stdc1_classification_forward_parity():
+    from super_gradients_tpu.conversion.torch_converter import STDC_CLS_RULES
+
+    m = ref_loader.load_ref_module("super_gradients.training.models.segmentation_models.stdc")
+    ref = m.STDC1Classification(_hp(num_classes=10))
+    mine = model_factory.get("stdc1_classification", num_classes=10)
+    parity_utils.classification_parity(ref, mine, input_hw=(64, 64), rules=STDC_CLS_RULES)
+
+
+def test_stdc2_classification_forward_parity():
+    from super_gradients_tpu.conversion.torch_converter import STDC_CLS_RULES
+
+    m = ref_loader.load_ref_module("super_gradients.training.models.segmentation_models.stdc")
+    ref = m.STDC2Classification(_hp(num_classes=10))
+    mine = model_factory.get("stdc2_classification", num_classes=10)
+    parity_utils.classification_parity(ref, mine, input_hw=(64, 64), rules=STDC_CLS_RULES)
