@@ -482,6 +482,57 @@ def stdc_cls_key_mapper():
     return STDC_CLS_RULES
 
 
+# Darknet53 classifier (ref detection_models/darknet53.py:43-101): flat
+# modules_list with named Conv2d/BatchNorm2d children; stages at odd/even slots.
+_DN53_LEAF = {"conv": "Conv2d", "bn": "BatchNorm2d"}
+
+
+def _darknet53_down(m):
+    return f"modules_list.{2 * int(m.group(1)) + 1}.{_DN53_LEAF[m.group(2)]}"
+
+
+def _darknet53_stage(m):
+    si, bi, j, leaf = m.groups()
+    return f"modules_list.{2 * int(si) + 2}.{bi}.layer{j}.{_DN53_LEAF[leaf]}"
+
+
+DARKNET53_RULES: Rules = (
+    (r"^stem\.(conv|bn)$", lambda m: f"modules_list.0.{_DN53_LEAF[m.group(1)]}"),
+    (r"^down(\d+)\.(conv|bn)$", _darknet53_down),
+    (r"^stage(\d+)_(\d+)\.conv(\d)\.(conv|bn)$", _darknet53_stage),
+    (r"^fc$", "modules_list.11.fc"),
+)
+
+
+def darknet53_key_mapper():
+    return DARKNET53_RULES
+
+
+# CSPDarknet53 classifier (ref csp_darknet53.py:173-229): the yolox trunk's
+# _modules_list WITHOUT the _backbone prefix, + Linear head at slot 12.
+CSP_DARKNET53_CLS_RULES: Rules = tuple(
+    (pat, repl.replace("_backbone.", "")) for pat, repl in (
+        (r"^backbone\.stem", "_backbone._modules_list.0"),
+        (r"^backbone\.dark2_conv", "_backbone._modules_list.1"),
+        (r"^backbone\.dark2_csp", "_backbone._modules_list.2"),
+        (r"^backbone\.dark3_conv", "_backbone._modules_list.3"),
+        (r"^backbone\.dark3_csp", "_backbone._modules_list.4"),
+        (r"^backbone\.dark4_conv", "_backbone._modules_list.5"),
+        (r"^backbone\.dark4_csp", "_backbone._modules_list.6"),
+        (r"^backbone\.dark5_conv", "_backbone._modules_list.7"),
+        (r"^backbone\.dark5_spp", "_backbone._modules_list.8"),
+        (r"^backbone\.dark5_csp", "_backbone._modules_list.9"),
+    )
+) + (
+    (r"\.b(\d+)_cv", r".bottlenecks.\1.cv"),
+    (r"^fc$", "_modules_list.12"),
+)
+
+
+def csp_darknet53_key_mapper():
+    return CSP_DARKNET53_CLS_RULES
+
+
 # SSD assemblies (ref detection_models/ssd.py:20-57 + modules/detection_modules.py).
 # The torch trunk lives under backbone.multi_output_backbone.0 (MultiOutputModule
 # stores the wrapped module at key "0" — multi_output_modules.py:47).

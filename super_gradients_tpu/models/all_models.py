@@ -928,18 +928,20 @@ def vit_huge_model(num_classes=None, arch_params=None, **kw):
 
 @register_model("darknet53")
 def darknet53(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.conversion.torch_converter import darknet53_key_mapper
     from super_gradients_tpu.models.classification.darknet import Darknet53
 
     nc = num_classes or 1000
-    return _cls_spec(Darknet53(num_classes=nc), nc)
+    return _cls_spec(Darknet53(num_classes=nc), nc, torch_key_mapper=darknet53_key_mapper)
 
 
 @register_model("csp_darknet53")
 def csp_darknet53(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.conversion.torch_converter import csp_darknet53_key_mapper
     from super_gradients_tpu.models.classification.darknet import CSPDarknet53
 
     nc = num_classes or 1000
-    return _cls_spec(CSPDarknet53(num_classes=nc), nc)
+    return _cls_spec(CSPDarknet53(num_classes=nc), nc, torch_key_mapper=csp_darknet53_key_mapper)
 
 
 def _stdc_cls(cfg, num_classes=None, arch_params=None, **kw):

@@ -17,14 +17,15 @@ from super_gradients_tpu.modules.blocks import ConvBNAct
 
 
 class DarkResidualBlock(nn.Module):
-    """1x1 squeeze + 3x3 expand + residual (ref darknet53.py DarkResidualBlock)."""
+    """1x1 squeeze + 3x3 expand + residual (ref darknet53.py:21-40 DarkResidualBlock;
+    LeakyReLU with the torch default 0.01 slope)."""
 
     channels: int
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = ConvBNAct(out_channels=self.channels // 2, kernel=1, act="leaky_relu", name="conv1")(x, train=train)
-        y = ConvBNAct(out_channels=self.channels, kernel=3, act="leaky_relu", name="conv2")(y, train=train)
+        y = ConvBNAct(out_channels=self.channels // 2, kernel=1, act="leaky_relu_01", name="conv1")(x, train=train)
+        y = ConvBNAct(out_channels=self.channels, kernel=3, act="leaky_relu_01", name="conv2")(y, train=train)
         return x + y
 
 
@@ -36,10 +37,10 @@ class Darknet53(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ConvBNAct(out_channels=32, kernel=3, act="leaky_relu", name="stem")(x, train=train)
+        x = ConvBNAct(out_channels=32, kernel=3, act="leaky_relu_01", name="stem")(x, train=train)
         ch = 64
         for si, n in enumerate(self.blocks):
-            x = ConvBNAct(out_channels=ch, kernel=3, stride=2, act="leaky_relu", name=f"down{si}")(x, train=train)
+            x = ConvBNAct(out_channels=ch, kernel=3, stride=2, act="leaky_relu_01", name=f"down{si}")(x, train=train)
             for bi in range(n):
                 x = DarkResidualBlock(ch, name=f"stage{si}_{bi}")(x, train=train)
             ch = min(ch * 2, 1024)

@@ -31,6 +31,8 @@ ACTIVATIONS: dict = {
     "swish": nn.silu,
     "lrelu": lambda x: nn.leaky_relu(x, 0.1),
     "leaky_relu": lambda x: nn.leaky_relu(x, 0.1),
+    # torch nn.LeakyReLU() default slope (darknet53.py:15 create_conv_module)
+    "leaky_relu_01": lambda x: nn.leaky_relu(x, 0.01),
     "hardswish": nn.hard_swish,
     "hardsigmoid": nn.hard_sigmoid,
     "sigmoid": nn.sigmoid,

@@ -207,3 +207,22 @@ def test_stdc2_classification_forward_parity():
     ref = m.STDC2Classification(_hp(num_classes=10))
     mine = model_factory.get("stdc2_classification", num_classes=10)
     parity_utils.classification_parity(ref, mine, input_hw=(64, 64), rules=STDC_CLS_RULES)
+
+
+def test_darknet53_forward_parity():
+    from super_gradients_tpu.conversion.torch_converter import DARKNET53_RULES
+
+    m = ref_loader.load_ref_module("super_gradients.training.models.detection_models.darknet53")
+    ref = m.Darknet53(backbone_mode=False, num_classes=10)
+    mine = model_factory.get("darknet53", num_classes=10)
+    parity_utils.classification_parity(ref, mine, input_hw=(64, 64), rules=DARKNET53_RULES)
+
+
+def test_csp_darknet53_forward_parity():
+    from super_gradients_tpu.conversion.torch_converter import CSP_DARKNET53_CLS_RULES
+
+    m = ref_loader.load_ref_module("super_gradients.training.models.detection_models.csp_darknet53")
+    HP = ref_loader.load_ref_module("super_gradients.training.utils.utils").HpmStruct
+    ref = m.CSPDarknet53(HP(num_classes=10, backbone_mode=False))
+    mine = model_factory.get("csp_darknet53", num_classes=10)
+    parity_utils.classification_parity(ref, mine, input_hw=(64, 64), rules=CSP_DARKNET53_CLS_RULES)
