@@ -533,6 +533,53 @@ def csp_darknet53_key_mapper():
     return CSP_DARKNET53_CLS_RULES
 
 
+# PNASNet-A (ref classification_models/pnasnet.py:25-110; unregistered upstream
+# but shipped — cells under layer1..layer5, SepConv as sep_conv1.conv1/bn1)
+PNASNET_RULES: Rules = (
+    (r"^stem\.conv$", "conv1"),
+    (r"^stem\.bn$", "bn1"),
+    (r"^cells1_(\d+)", r"layer1.\1"),
+    (r"^down1\b", "layer2"),
+    (r"^cells2_(\d+)", r"layer3.\1"),
+    (r"^down2\b", "layer4"),
+    (r"^cells3_(\d+)", r"layer5.\1"),
+    (r"\.sep\.conv$", ".sep_conv1.conv1"),
+    (r"\.sep\.bn$", ".sep_conv1.bn1"),
+    (r"\.proj\.conv$", ".conv1"),
+    (r"\.proj\.bn$", ".bn1"),
+)
+
+
+def pnasnet_key_mapper():
+    return PNASNET_RULES
+
+
+def unet_key_mapper(cfg):
+    """UNET/UNetCustom (ref unet/unet.py:20-104): ConvStage blocks sit after the
+    MaxPool downsample inside each stage Sequential (unet_encoder.py:137-148), so
+    the torch index is offset by 1 for stride-2 stages; decoder last_convs nests
+    repeats 1..n under a second Sequential (unet_decoder.py:115-119)."""
+    strides = list(cfg.strides_list)
+
+    def _stage(m):
+        i, j, leaf = int(m.group(1)), int(m.group(2)), m.group(3)
+        off = 1 if strides[i] == 2 else 0
+        return f"encoder.backbone.stages.{i}.blocks.{j + off}.seq.{leaf}"
+
+    def _dec(m):
+        i, r, leaf = m.group(1), int(m.group(2)), m.group(3)
+        slot = "0" if r == 0 else f"1.{r - 1}"
+        return f"decoder.up_stages.{i}.last_convs.{slot}.seq.{leaf}"
+
+    return (
+        (r"^stage(\d+)_blk(\d+)\.(conv|bn)$", _stage),
+        (r"^dec(\d+)_conv(\d+)\.(conv|bn)$", _dec),
+        (r"^proj(\d+)\.(conv|bn)$", r"decoder.projection_blocks.\1.seq.\2"),
+        (r"^head_conv\.(conv|bn)$", r"seg_head.0.seg_head.0.seq.\1"),
+        (r"^head_pred$", "seg_head.0.seg_head.2"),
+    )
+
+
 # SSD assemblies (ref detection_models/ssd.py:20-57 + modules/detection_modules.py).
 # The torch trunk lives under backbone.multi_output_backbone.0 (MultiOutputModule
 # stores the wrapped module at key "0" — multi_output_modules.py:47).

@@ -672,10 +672,13 @@ def regseg48(num_classes=None, arch_params=None, input_hw=(512, 1024), **kw):
 
 @register_model("unet")
 def unet(num_classes=None, arch_params=None, input_hw=(512, 512), **kw):
+    from super_gradients_tpu.conversion.torch_converter import unet_key_mapper
     from super_gradients_tpu.models.segmentation.unet_segformer import UNet, UNetCfg
 
     nc = num_classes or 19
-    return _seg_spec(UNet(UNetCfg(num_classes=nc)), nc, tuple(input_hw))
+    cfg = UNetCfg(num_classes=nc)
+    return _seg_spec(UNet(cfg), nc, tuple(input_hw), cfg,
+                     torch_key_mapper=lambda: unet_key_mapper(cfg))
 
 
 def _segformer(cfg, num_classes=None, arch_params=None, input_hw=(512, 1024), **kw):
@@ -754,10 +757,11 @@ def dpn92(num_classes=None, arch_params=None, **kw):
 
 @register_model("pnasnet")
 def pnasnet(num_classes=None, arch_params=None, **kw):
+    from super_gradients_tpu.conversion.torch_converter import pnasnet_key_mapper
     from super_gradients_tpu.models.classification.dpn_pnasnet_beit import PNASNet
 
     nc = num_classes or 10
-    return _cls_spec(PNASNet(num_classes=nc), nc, (32, 32))
+    return _cls_spec(PNASNet(num_classes=nc), nc, (32, 32), torch_key_mapper=pnasnet_key_mapper)
 
 
 @register_model("beit_base_patch16_224")
@@ -1155,12 +1159,28 @@ for _v in ["segformer_b3", "segformer_b4", "segformer_b5"]:
 
 @register_model("unet_custom")
 def unet_custom(num_classes=None, arch_params=None, input_hw=(512, 512), **kw):
+    from super_gradients_tpu.conversion.torch_converter import unet_key_mapper
     from super_gradients_tpu.models.segmentation.unet_segformer import UNet, UNetCfg
 
     ap = arch_params or {}
     nc = num_classes or ap.get("num_classes", 19)
-    cfg = UNetCfg(num_classes=nc, widths=tuple(ap.get("widths", (64, 128, 256, 512, 1024))))
-    return _seg_spec(UNet(cfg), nc, tuple(input_hw), cfg)
+    bp = ap.get("backbone_params", {})
+    dp = ap.get("decoder_params", {})
+    cfg = UNetCfg(
+        num_classes=nc,
+        strides_list=tuple(bp.get("strides_list", (1, 2, 2, 2, 2))),
+        width_list=tuple(bp.get("width_list", ap.get("widths", (64, 128, 256, 512, 512)))),
+        num_blocks_list=tuple(bp.get("num_blocks_list", (2, 2, 2, 2, 2))),
+        decoder_scale=dp.get("decoder_scale", 0.5),
+        skip_expansion=dp.get("skip_expansion", 1.0),
+        up_block_repeat_list=tuple(dp.get("up_block_repeat_list", (2, 2, 2, 1))),
+        min_decoder_channels=dp.get("min_decoder_channels", 1),
+        final_upsample_factor=ap.get("final_upsample_factor", 1),
+        head_hidden_channels=ap.get("head_hidden_channels") or 0,
+        dropout=ap.get("dropout", 0.0),
+    )
+    return _seg_spec(UNet(cfg), nc, tuple(input_hw), cfg,
+                     torch_key_mapper=lambda: unet_key_mapper(cfg))
 
 
 @register_model("unet_custom_cls")
@@ -1169,7 +1189,8 @@ def unet_custom_cls(num_classes=None, arch_params=None, **kw):
 
     ap = arch_params or {}
     nc = num_classes or ap.get("num_classes", 1000)
-    cfg = UNetCfg(num_classes=nc, widths=tuple(ap.get("widths", (64, 128, 256, 512, 1024))))
+    cfg = UNetCfg(num_classes=nc, width_list=tuple(ap.get("widths", (64, 128, 256, 512, 1024))),
+                  strides_list=(1, 2, 2, 2, 2))
     return _cls_spec(UNetClassifier(cfg, num_classes=nc), nc)
 
 

@@ -120,7 +120,7 @@ class PNASNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = self.num_planes
-        x = ConvBNAct(out_channels=p, kernel=3, act="identity", name="stem")(x, train=train)
+        x = ConvBNAct(out_channels=p, kernel=3, act="relu", name="stem")(x, train=train)
         for i in range(self.num_cells):
             x = CellA(p, 1, name=f"cells1_{i}")(x, train=train)
         x = CellA(p * 2, 2, name="down1")(x, train=train)

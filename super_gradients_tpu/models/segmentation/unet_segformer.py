@@ -22,36 +22,72 @@ from super_gradients_tpu.modules.blocks import ConvBNAct
 
 @dataclasses.dataclass(frozen=True)
 class UNetCfg:
+    """Classic UNET assembly (recipes/arch_params/unet_arch_params.yaml over
+    unet_default_arch_params.yaml): ConvStage encoder, UpCatBlock decoder."""
+
     num_classes: int = 19
-    widths: Tuple[int, ...] = (64, 128, 256, 512, 1024)
+    strides_list: Tuple[int, ...] = (1, 2, 2, 2, 2)
+    width_list: Tuple[int, ...] = (64, 128, 256, 512, 512)
+    num_blocks_list: Tuple[int, ...] = (2, 2, 2, 2, 2)
+    decoder_scale: float = 0.5
+    skip_expansion: float = 1.0
+    up_block_repeat_list: Tuple[int, ...] = (2, 2, 2, 1)
+    min_decoder_channels: int = 1
+    final_upsample_factor: int = 1
+    head_hidden_channels: int = 0  # 0 -> last decoder width (ref head_hidden_channels: null)
+    dropout: float = 0.0
 
 
 class UNet(nn.Module):
-    """Classic UNet with BN double-convs (ref unet/unet.py)."""
+    """ref unet/unet.py:20-149 UNetBase (ConvStage + UpCatBlock configuration).
+
+    Encoder: UNetBackboneBase (unet_encoder.py:226-272) of ConvStage stages —
+    MaxPool2d(2) downsample (when stride 2, downsample_mode=max_pool) then
+    ConvBNReLU blocks. Decoder (unet_decoder.py:165-240): per level, bilinear x2
+    up (align_corners=False), concat skip (skip_expansion=1 -> identity
+    projections), then `num_repeats` ConvBNReLUs. Head: SegmentationHead
+    (common.py:5-15) = ConvBNReLU + dropout + 1x1 conv (bias=False)."""
 
     cfg: UNetCfg
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = self.cfg
+        feats = []
+        for i, (stride, w, nb) in enumerate(zip(c.strides_list, c.width_list, c.num_blocks_list)):
+            if stride == 2:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            for j in range(nb):
+                x = ConvBNAct(out_channels=w, kernel=3, act="relu", name=f"stage{i}_blk{j}")(x, train=train)
+            feats.append(x)
 
-        def double_conv(x, w, name):
-            x = ConvBNAct(out_channels=w, kernel=3, act="relu", name=f"{name}_1")(x, train=train)
-            return ConvBNAct(out_channels=w, kernel=3, act="relu", name=f"{name}_2")(x, train=train)
+        up_channels = [max(int(ch * c.decoder_scale), c.min_decoder_channels) for ch in c.width_list]
+        up_channels = up_channels[::-1][1:]
 
-        skips = []
-        for i, w in enumerate(c.widths[:-1]):
-            x = double_conv(x, w, f"down{i}")
-            skips.append(x)
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = double_conv(x, c.widths[-1], "bottleneck")
-        for i, w in reversed(list(enumerate(c.widths[:-1]))):
-            b, h, wd, cc = x.shape
-            x = jax.image.resize(x, (b, h * 2, wd * 2, cc), "bilinear")
-            x = nn.Conv(w, (1, 1), name=f"up{i}_proj")(x)
-            x = jnp.concatenate([x, skips[i]], axis=-1)
-            x = double_conv(x, w, f"up{i}")
-        return nn.Conv(c.num_classes, (1, 1), name="head")(x)
+        if c.skip_expansion != 1.0:
+            proj_ch = [max(int(ch * c.skip_expansion), c.min_decoder_channels) for ch in c.width_list]
+            feats = [ConvBNAct(out_channels=pc, kernel=1, act="identity", name=f"proj{i}")(f, train=train)
+                     for i, (f, pc) in enumerate(zip(feats, proj_ch))]
+
+        skips = feats[::-1]
+        x = skips[0]
+        for i, (w, rep) in enumerate(zip(up_channels, c.up_block_repeat_list)):
+            b, h, ww, cc = x.shape
+            x = jax.image.resize(x, (b, h * 2, ww * 2, cc), "bilinear")
+            if i + 1 < len(skips):
+                x = jnp.concatenate([x, skips[i + 1]], axis=-1)
+            for r in range(rep):
+                x = ConvBNAct(out_channels=w, kernel=3, act="relu", name=f"dec{i}_conv{r}")(x, train=train)
+
+        mid = c.head_hidden_channels or up_channels[-1]
+        y = ConvBNAct(out_channels=mid, kernel=3, act="relu", name="head_conv")(x, train=train)
+        if c.dropout > 0:
+            y = nn.Dropout(c.dropout, deterministic=not train)(y)
+        y = nn.Conv(c.num_classes, (1, 1), use_bias=False, name="head_pred")(y)
+        if c.final_upsample_factor > 1:
+            b, h, ww, cc = y.shape
+            y = jax.image.resize(y, (b, h * c.final_upsample_factor, ww * c.final_upsample_factor, cc), "bilinear")
+        return y
 
 
 # -------------------------------------------------------------------- SegFormer
@@ -113,8 +149,8 @@ class UNetClassifier(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        for i, w in enumerate(self.cfg.widths):
-            if i > 0:
+        for i, w in enumerate(self.cfg.width_list):
+            if self.cfg.strides_list[i] == 2:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             x = ConvBNAct(out_channels=w, kernel=3, act="relu", name=f"enc{i}_1")(x, train=train)
             x = ConvBNAct(out_channels=w, kernel=3, act="relu", name=f"enc{i}_2")(x, train=train)

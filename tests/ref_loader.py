@@ -326,6 +326,8 @@ def _install_external_stubs():
             base = recipes_dir_path or _os.path.join(REF_SRC, "super_gradients", "recipes")
 
             def load_one(name):
+                if name.endswith(".yaml"):  # some callers pass the extension (unet.py:208)
+                    name = name[: -len(".yaml")]
                 with open(_os.path.join(base, "arch_params", name + ".yaml")) as f:
                     cfg = _yaml.safe_load(f) or {}
                 defaults = cfg.pop("defaults", None)

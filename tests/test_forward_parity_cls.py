@@ -226,3 +226,14 @@ def test_csp_darknet53_forward_parity():
     ref = m.CSPDarknet53(HP(num_classes=10, backbone_mode=False))
     mine = model_factory.get("csp_darknet53", num_classes=10)
     parity_utils.classification_parity(ref, mine, input_hw=(64, 64), rules=CSP_DARKNET53_CLS_RULES)
+
+
+def test_pnasnet_a_forward_parity():
+    """PNASNetA is shipped but unregistered upstream (pnasnet.py:115); its head is
+    a fixed Linear(4p, 10), i.e. CIFAR-only — golden at 32x32."""
+    from super_gradients_tpu.conversion.torch_converter import PNASNET_RULES
+
+    m = ref_loader.load_ref_module("super_gradients.training.models.classification_models.pnasnet")
+    ref = m.PNASNetA()
+    mine = model_factory.get("pnasnet", num_classes=10)
+    parity_utils.classification_parity(ref, mine, input_hw=(32, 32), rules=PNASNET_RULES)

@@ -111,3 +111,14 @@ def test_shelfnet50_reference_is_broken_ours_works():
     mine = model_factory.get("shelfnet50", num_classes=7, input_hw=(128, 256), arch_params={"aux_outputs": True})
     outs = mine.apply(jnp.asarray(np.zeros((1, 128, 256, 3), np.float32)), train=False)
     assert len(outs) == 3 and outs[0].shape == (1, 128, 256, 7) and outs[1].shape == (1, 7)
+
+
+def test_unet_forward_parity():
+    """Classic UNET assembly (unet_arch_params.yaml: ConvStage encoder +
+    UpCatBlock decoder + SegmentationHead)."""
+    from super_gradients_tpu.conversion.torch_converter import unet_key_mapper
+
+    m = ref_loader.load_ref_module("super_gradients.training.models.segmentation_models.unet.unet")
+    ref = m.UNet(_hp(num_classes=7))
+    mine = model_factory.get("unet", num_classes=7, input_hw=(128, 128))
+    parity_utils.segmentation_parity(ref, mine, input_hw=(128, 128), rules=unet_key_mapper(mine.config))
