@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -6,6 +7,7 @@ from super_gradients_tpu import models
 from super_gradients_tpu.models.pose.dekr import dekr_decode
 
 
+@pytest.mark.heavy  # compile-heavy; nightly tier
 def test_dekr_forward_and_decode():
     model = models.get("dekr_w32_no_dc", num_classes=17, image_size=128, arch_params={"width": 16})
     out = model.apply(jnp.ones((1, 128, 128, 3)), train=False)

@@ -2,6 +2,9 @@
 code (classification_models/*.py loaded standalone via ref_loader)."""
 
 import pytest
+
+pytestmark = pytest.mark.parity
+
 import ref_loader
 import parity_utils
 

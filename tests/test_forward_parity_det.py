@@ -8,6 +8,9 @@ compatibility pillar).
 """
 
 import pytest
+
+pytestmark = pytest.mark.parity
+
 import ref_loader
 import parity_utils
 

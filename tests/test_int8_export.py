@@ -19,6 +19,7 @@ def _calibration_batches(n=4, hw=(64, 64)):
     return [(rng.rand(2, hw[0], hw[1], 3).astype(np.float32), None) for _ in range(n)]
 
 
+@pytest.mark.heavy  # compile-heavy; nightly tier
 def test_int8_export_roundtrip_and_close_to_fp32(tmp_path):
     model = models.get("yolo_nas_s", num_classes=8, image_size=64)
     calibrator = QuantizationCalibrator(method="percentile")

@@ -39,13 +39,13 @@ def test_all_reference_model_names_registered():
 @pytest.mark.parametrize(
     "name,hw,nc",
     [
-        ("densenet169", 64, 7),
-        ("repvgg_d2se", 64, 7),  # exercises per-block SE
+        pytest.param("densenet169", 64, 7, marks=pytest.mark.heavy),
+        pytest.param("repvgg_d2se", 64, 7, marks=pytest.mark.heavy),  # per-block SE
         ("shufflenet_v2_x0_5", 64, 7),
         ("darknet53", 64, 7),
         ("stdc1_classification", 64, 7),
         ("unet_custom_cls", 64, 7),
-        ("mobilenet_v3_custom", 64, 7),
+        pytest.param("mobilenet_v3_custom", 64, 7, marks=pytest.mark.heavy),
     ],
 )
 def test_new_classification_variants_forward(name, hw, nc):
@@ -56,6 +56,7 @@ def test_new_classification_variants_forward(name, hw, nc):
     assert out.shape == (1, nc)
 
 
+@pytest.mark.heavy  # compile-heavy; nightly tier
 def test_custom_builders_respect_arch_params():
     spec = ARCHITECTURES["custom_resnet_cifar"](arch_params={"structure": [1, 1, 1, 1], "num_classes": 3})
     x = jnp.zeros((1, 32, 32, 3))

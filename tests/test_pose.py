@@ -32,6 +32,7 @@ def test_pose_oks_identity():
     assert oks[0, 1, 1] == pytest.approx(1.0, abs=1e-5)
 
 
+@pytest.mark.heavy  # compile-heavy; nightly tier
 def test_pose_loss_finite_and_differentiable():
     model = models.get("yolo_nas_pose_n", image_size=64)
     loader = dataloaders.get("pose_test_dataloader", dataset_params={"image_size": (64, 64), "dataset_size": 4, "batch_size": 4})

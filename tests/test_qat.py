@@ -52,6 +52,7 @@ def test_calibration_table_is_consumed_by_forward():
     assert diff > 1e-4, "activation quantization did not alter the forward — table not consumed"
 
 
+@pytest.mark.heavy  # compile-heavy; nightly tier
 def test_weight_ste_quantization_differentiable():
     model = models.get("resnet18_cifar", num_classes=4)
     fq = fake_quantize_params_ste(model.params)

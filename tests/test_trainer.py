@@ -50,6 +50,7 @@ def test_classification_training_learns(tmp_path):
     assert os.path.isdir(os.path.join(trainer.ckpt_dir, "ckpt_best"))
 
 
+@pytest.mark.heavy  # compile-heavy; nightly tier
 def test_training_with_ema_and_cosine(tmp_path):
     model = models.get("resnet18_cifar", num_classes=10)
     loader = dataloaders.get("classification_test_dataloader", dataset_params={"image_size": (32, 32), "dataset_size": 32, "batch_size": 16})
@@ -66,6 +67,7 @@ def test_training_with_ema_and_cosine(tmp_path):
     assert len(trainer.valid_metrics_history) == 2
 
 
+@pytest.mark.heavy  # compile-heavy; nightly tier
 def test_resume_training(tmp_path):
     loader = dataloaders.get("classification_test_dataloader", dataset_params={"image_size": (32, 32), "dataset_size": 32, "batch_size": 16})
     m1 = models.get("resnet18_cifar", num_classes=10)
