@@ -38,6 +38,24 @@ class StrictLoad:
     OFF = "off"  # keep template values for misses
     ON = "on"  # raise on any miss
     NO_KEY_MATCHING = "no_key_matching"  # match remaining leaves to unused torch keys by shape, in order
+    KEY_MATCHING = "key_matching"  # match remaining leaves to unused torch keys by name suffix (prefix-agnostic)
+
+    ALL = (OFF, ON, NO_KEY_MATCHING, KEY_MATCHING)
+
+    @staticmethod
+    def normalize(strict) -> str:
+        """Map the checkpoint_params.strict_load surface (bool | mode string) to a
+        mode. Unknown strings raise instead of silently behaving as another mode
+        — every reference StrictLoad enum value is truthy, so treating them as a
+        boolean would turn e.g. 'no_key_matching' into strict=ON."""
+        if isinstance(strict, str):
+            mode = strict.lower()
+            if mode in ("true", "false"):  # YAML bools that arrived as strings
+                mode = StrictLoad.ON if mode == "true" else StrictLoad.OFF
+            if mode not in StrictLoad.ALL:
+                raise ValueError(f"Unknown strict_load mode {strict!r}; valid: {StrictLoad.ALL}")
+            return mode
+        return StrictLoad.ON if strict else StrictLoad.OFF
 
 # applied to dotted flax path AFTER model-specific rules
 _GENERIC_RULES: Rules = (
@@ -162,7 +180,36 @@ def convert_state_dict(
                 missing_paths.append((path, leaf_val))
                 out_flat[path] = leaf_val
 
-    mode = strict if isinstance(strict, str) else (StrictLoad.ON if strict else StrictLoad.OFF)
+    mode = StrictLoad.normalize(strict)
+
+    if mode == StrictLoad.KEY_MATCHING and missing_paths:
+        # prefix-agnostic name matching: a checkpoint saved under an extra module
+        # prefix (wrapper nets, DDP-style naming) still loads by layer-name suffix
+        # (ref checkpoint_utils.py:79 KEY_MATCHING mode)
+        remaining = {k: v for k, v in sd.items() if k not in used_torch_keys and not k.endswith("num_batches_tracked")}
+        matched = 0
+        still_missing = []
+        for path, leaf_val in missing_paths:
+            torch_key = _translate(path[1:], rules)
+            hit = None
+            for k in remaining:
+                if k != torch_key and not k.endswith("." + torch_key):
+                    continue
+                try:
+                    arr = _transform(_to_numpy(remaining[k]), tuple(np.shape(leaf_val)), path[1:])
+                except ValueError:
+                    continue
+                hit = (k, arr)
+                break
+            if hit is not None:
+                out_flat[path] = hit[1].astype(np.asarray(leaf_val).dtype if hasattr(leaf_val, "dtype") else np.float32)
+                used_torch_keys.add(hit[0])
+                del remaining[hit[0]]
+                matched += 1
+            else:
+                still_missing.append(f"{'/'.join(path)} (wanted suffix `{torch_key}`)")
+        logger.info(f"KEY_MATCHING: suffix-matched {matched}/{len(missing_paths)} leaves")
+        missing = still_missing
 
     if mode == StrictLoad.NO_KEY_MATCHING and missing_paths:
         # shape-based sequential matching against still-unused torch keys
@@ -1002,11 +1049,19 @@ def load_torch_weights(
     variables = convert_state_dict(sd, model.variables, rules=rules,
                                    strict=False if only_subtree else strict)
     if only_subtree:
+        from super_gradients_tpu.training.checkpoints import resolve_subtree_key
+
+        key = resolve_subtree_key(model.variables.get("params", {}), only_subtree)
+        if key is None:
+            raise KeyError(
+                f"only_subtree='{only_subtree}' matches no top-level module in the model param tree "
+                f"(top-level modules: {sorted(model.variables.get('params', {}))}) — nothing would be loaded"
+            )
         merged = {}
         for col, tree in model.variables.items():
             merged[col] = dict(tree)
-            if only_subtree in variables.get(col, {}):
-                merged[col][only_subtree] = variables[col][only_subtree]
+            if key in variables.get(col, {}):
+                merged[col][key] = variables[col][key]
         variables = merged
     model.update_variables(variables)
     return model

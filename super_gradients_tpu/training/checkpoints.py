@@ -60,6 +60,16 @@ def checkpoint_exists(ckpt_dir: str, name: str) -> bool:
     return os.path.isdir(os.path.join(ckpt_dir, name))
 
 
+def resolve_subtree_key(tree, subtree: str):
+    """Find the top-level key matching ``subtree``, resolving common naming
+    aliases (flax models here often prefix private submodules, e.g. YOLOX/
+    SegFormer name theirs ``_backbone`` while checkpoint_params says ``backbone``)."""
+    for cand in (subtree, f"_{subtree}", subtree.lstrip("_")):
+        if cand in tree:
+            return cand
+    return None
+
+
 def load_checkpoint_into_model(model, checkpoint_path: str, only_subtree: str = None):
     """Load an orbax checkpoint dir (saved variables) into an SgModel.
 
@@ -79,11 +89,23 @@ def load_checkpoint_into_model(model, checkpoint_path: str, only_subtree: str = 
     else:
         variables = restored
     if only_subtree:
+        model_key = resolve_subtree_key(model.variables.get("params", {}), only_subtree)
+        if model_key is None:
+            raise KeyError(
+                f"only_subtree='{only_subtree}' matches no top-level module in the model param tree "
+                f"(top-level modules: {sorted(model.variables.get('params', {}))}) — nothing would be loaded"
+            )
+        src_key = resolve_subtree_key(variables.get("params", {}), only_subtree)
+        if src_key is None:
+            raise KeyError(
+                f"only_subtree='{only_subtree}' matches no top-level key in the checkpoint "
+                f"(top-level keys: {sorted(variables.get('params', {}))}) — nothing would be loaded"
+            )
         merged = {}
         for col, tree in model.variables.items():
             merged[col] = dict(tree)
-            if only_subtree in variables.get(col, {}):
-                merged[col][only_subtree] = variables[col][only_subtree]
+            if src_key in variables.get(col, {}):
+                merged[col][model_key] = variables[col][src_key]
         variables = merged
     model.update_variables(variables)
     logger.info(f"Loaded checkpoint from {checkpoint_path}" + (f" (subtree {only_subtree})" if only_subtree else ""))

@@ -28,12 +28,25 @@ from super_gradients_tpu.common.registry import DATALOADERS, register_dataloader
 logger = get_logger(__name__)
 
 
+def _picklable(obj) -> bool:
+    import pickle
+
+    try:
+        pickle.dumps(obj)
+        return True
+    except Exception:
+        return False
+
+
 def _worker_loop(dataset, collate_fn, index_q, result_q):
     """Worker process body: pull (batch_id, indices), push (batch_id, batch).
 
-    Loading + transforms (mosaic/mixup/affine/decode) run here, off the main
-    process — the TPU-feed analogue of torch DataLoader workers
+    ``batch_id`` is an opaque tag echoed back verbatim — the pool uses
+    ``(generation, index)`` tuples so results from an abandoned epoch can be
+    discarded. Loading + transforms (mosaic/mixup/affine/decode) run here, off
+    the main process — the TPU-feed analogue of torch DataLoader workers
     (ref dataloaders.py:56-227)."""
+    result_q.put(("__ready__", None, None))
     while True:
         item = index_q.get()
         if item is None:
@@ -53,23 +66,63 @@ class _WorkerPool:
     through an mp queue. The pool lives across epochs so per-epoch startup cost
     is zero after the first use."""
 
-    def __init__(self, dataset, collate_fn, num_workers: int, prefetch_factor: int):
-        import multiprocessing as mp
+    # Start-method preference: os.fork() after JAX/XLA initialization is unsafe
+    # (the parent is multithreaded — CPython itself warns about fork deadlocks), so
+    # when the dataset+collate pickle cleanly we use forkserver, whose children are
+    # forked from a clean single-threaded server process. fork stays as the
+    # fallback for unpicklable datasets. SG_WORKER_START_METHOD overrides.
+    _READY_TIMEOUT_S = 120.0
 
-        method = os.environ.get("SG_WORKER_START_METHOD", "fork")
-        ctx = mp.get_context(method)
+    def __init__(self, dataset, collate_fn, num_workers: int, prefetch_factor: int):
         self.num_workers = num_workers
         self.max_inflight = max(2, num_workers * prefetch_factor)
+        self._gen = 0
+        self._closed = False
+        method = os.environ.get("SG_WORKER_START_METHOD")
+        if method is None:
+            method = "forkserver" if _picklable((dataset, collate_fn)) else "fork"
+        try:
+            self._start(method, dataset, collate_fn)
+        except Exception as e:
+            if method == "fork":
+                raise
+            # forkserver children import the dataset's module from scratch; if that
+            # fails (e.g. a dataset class defined in a non-importable script) fall
+            # back to fork, which inherits the parent's memory image
+            logger.warning(f"{method} worker pool failed to start ({e}); retrying with fork")
+            self._start("fork", dataset, collate_fn)
+        atexit.register(self.close)
+
+    def _start(self, method: str, dataset, collate_fn):
+        import multiprocessing as mp
+
+        ctx = mp.get_context(method)
         self.index_q = ctx.Queue()
         self.result_q = ctx.Queue()
         self.workers = [
             ctx.Process(target=_worker_loop, args=(dataset, collate_fn, self.index_q, self.result_q), daemon=True)
-            for _ in range(num_workers)
+            for _ in range(self.num_workers)
         ]
         for w in self.workers:
             w.start()
-        self._closed = False
-        atexit.register(self.close)
+        # handshake: every worker reports ready before any work is submitted, so a
+        # child that dies during import/unpickle fails fast here instead of hanging
+        # the first result_q.get() forever
+        try:
+            for _ in self.workers:
+                tag, _, _ = self.result_q.get(timeout=self._READY_TIMEOUT_S)
+                if tag != "__ready__":  # pragma: no cover - defensive
+                    raise RuntimeError(f"unexpected worker handshake message {tag!r}")
+        except Exception:
+            self._terminate_workers()
+            raise
+
+    def _terminate_workers(self):
+        for w in getattr(self, "workers", []):
+            try:
+                w.terminate()
+            except Exception:
+                pass
 
     def close(self):
         if self._closed:
@@ -86,17 +139,27 @@ class _WorkerPool:
             pass
 
     def run_epoch(self, idx: np.ndarray, batch_size: int, n_batches: int) -> Iterator:
-        """Yield collated batches IN ORDER with up to max_inflight outstanding."""
+        """Yield collated batches IN ORDER with up to max_inflight outstanding.
+
+        Every submission is tagged with a generation counter so that when a
+        consumer abandons the iterator mid-epoch (max_train_batches break,
+        device-prefetch buffers), in-flight results from the old generation are
+        discarded instead of colliding with the next epoch's batch ids — a
+        stale result would otherwise be silently yielded as a wrong batch."""
+        self._gen += 1
+        gen = self._gen
         submitted = 0
         pending: Dict[int, Any] = {}
         next_out = 0
         while submitted < n_batches and submitted < self.max_inflight:
             chunk = idx[submitted * batch_size : (submitted + 1) * batch_size]
-            self.index_q.put((submitted, chunk))
+            self.index_q.put(((gen, submitted), chunk))
             submitted += 1
         while next_out < n_batches:
             while next_out not in pending:
-                batch_id, batch, err = self.result_q.get()
+                (bgen, batch_id), batch, err = self.result_q.get()
+                if bgen != gen:
+                    continue  # stale result from an abandoned earlier epoch
                 if err is not None:
                     self.close()
                     raise RuntimeError(f"DataLoader worker failed on batch {batch_id}: {err}")
@@ -105,7 +168,7 @@ class _WorkerPool:
             next_out += 1
             if submitted < n_batches:
                 chunk = idx[submitted * batch_size : (submitted + 1) * batch_size]
-                self.index_q.put((submitted, chunk))
+                self.index_q.put(((gen, submitted), chunk))
                 submitted += 1
             yield batch
 

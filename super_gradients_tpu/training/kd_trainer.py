@@ -19,6 +19,25 @@ from super_gradients_tpu.training.losses.kd_losses import KDLogitsLoss, KDModule
 from super_gradients_tpu.training.trainer import Trainer
 
 
+def _first_metric_key(entry) -> str:
+    """Resolve the results-dict key the first metric will report (its compute()
+    output key), falling back to its registry/class name."""
+    from super_gradients_tpu.training.metrics import get_metric
+
+    try:
+        m = get_metric(entry)
+        keys = list(m.compute(m.init()).keys())
+        if keys:
+            return keys[0]
+    except Exception:
+        pass
+    if isinstance(entry, str):
+        return entry
+    if isinstance(entry, dict):
+        return next(iter(entry))
+    return type(entry).__name__
+
+
 class KDTrainer(Trainer):
     """ref kd_trainer.py:36 — composite KD training."""
 
@@ -59,8 +78,12 @@ class KDTrainer(Trainer):
         tp.setdefault("frozen_param_patterns", ["teacher"])
         # the Trainer unwraps KDOutput.student_output for metrics (ref KDTrainer
         # validates the student) — default to student Accuracy instead of blind runs
+        user_metrics = tp.get("valid_metrics_list")
         tp.setdefault("valid_metrics_list", ["Accuracy"])
-        tp.setdefault("metric_to_watch", "Accuracy")
+        if "metric_to_watch" not in tp:
+            # a caller-supplied metrics list may not contain Accuracy — watching a
+            # key that never appears would break best-checkpoint tracking
+            tp["metric_to_watch"] = _first_metric_key(user_metrics[0]) if user_metrics else "Accuracy"
 
         trained = super().train(kd_model, tp, train_loader, valid_loader, **kwargs)
 

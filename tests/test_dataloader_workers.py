@@ -64,3 +64,41 @@ def test_get_honors_num_workers():
         assert len(batches) == 64 // 8 and batches[0][0].shape == (8, 64, 64, 3)
     finally:
         loader.close()
+
+
+def test_early_break_does_not_corrupt_next_epoch():
+    """Abandoning the iterator mid-epoch (max_train_batches / prefetch buffers)
+    must not leak stale in-flight batches into the next epoch — regression for
+    the generation-tag fix in _WorkerPool.run_epoch."""
+    ds = _SquareDataset(96)
+    loader = DataLoader(ds, batch_size=8, shuffle=True, seed=7, num_workers=3, prefetch_factor=4)
+    try:
+        it = iter(loader)
+        next(it)  # many batches are now in flight; abandon the rest
+        del it
+
+        loader.set_epoch(1)
+        got = _drain(loader)
+        inline = DataLoader(ds, batch_size=8, shuffle=True, seed=7)
+        inline.set_epoch(1)
+        want = _drain(inline)
+        assert len(got) == len(want) == 12
+        for (xw, yw), (xi, yi) in zip(got, want):
+            np.testing.assert_array_equal(yw, yi)
+            np.testing.assert_array_equal(xw, xi)
+    finally:
+        loader.close()
+
+
+def test_forkserver_default_start_method(monkeypatch):
+    """Picklable datasets default to the forkserver start method (fork after JAX
+    init is unsafe — the parent is multithreaded)."""
+    monkeypatch.delenv("SG_WORKER_START_METHOD", raising=False)
+    from super_gradients_tpu.training.dataloaders import _picklable
+
+    assert _picklable(_SquareDataset(4))
+    loader = DataLoader(_SquareDataset(16), batch_size=8, num_workers=1)
+    try:
+        assert len(_drain(loader)) == 2
+    finally:
+        loader.close()
