@@ -39,9 +39,24 @@ def step_schedule(
     steps_per_epoch: int,
     lr_updates: Sequence[int] = (),
     lr_decay_factor: float = 0.1,
+    step_lr_update_freq: float = None,
+    max_epochs: int = 1,
+    lr_warmup_epochs: int = 0,
     **kw,
 ) -> Schedule:
-    """Decay by ``lr_decay_factor`` at each epoch in ``lr_updates`` (ref StepLRScheduler)."""
+    """Decay by ``lr_decay_factor`` at each epoch in ``lr_updates`` (ref StepLRScheduler).
+
+    ``step_lr_update_freq`` (mutually exclusive with ``lr_updates``) generates a
+    decay every ``freq`` epochs, skipping warmup epochs — ref
+    callbacks.py:400-416 StepLRCallback."""
+    if step_lr_update_freq:
+        if len(lr_updates):
+            raise ValueError("Parameters lr_updates and step_lr_update_freq are mutually exclusive")
+        lr_updates = [
+            int(math.ceil(step_lr_update_freq * x))
+            for x in range(1, max_epochs)
+            if lr_warmup_epochs <= int(math.ceil(step_lr_update_freq * x)) < max_epochs
+        ]
     boundaries = jnp.asarray([u * steps_per_epoch for u in sorted(lr_updates)], dtype=jnp.float32)
 
     def schedule(step):
@@ -137,6 +152,7 @@ def build_lr_schedule(
             total_steps=effective_total,
             steps_per_epoch=steps_per_epoch,
             max_epochs=max_epochs,
+            lr_warmup_epochs=lr_warmup_epochs,
             **scheduler_kwargs,
         )
 

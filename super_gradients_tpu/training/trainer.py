@@ -54,6 +54,36 @@ def _default_training_params() -> Dict:
     return load_recipe("training_hyperparams/default_train_params.yaml")
 
 
+class _TrackedParams(dict):
+    """training_params dict that records key reads.
+
+    Structural guard against the silent-drop bug class (a knob declared in
+    YAML and consumed by nothing — happened twice: ``pretrained_weights`` in
+    round 2, ``mixed_precision`` in round 3). At the end of ``train()`` any
+    key that was never read through ``get``/``[]`` is reported loudly."""
+
+    _IGNORED = frozenset({"_convert_"})  # hydra instantiation marker, not a knob
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._read_keys = set()
+
+    def __getitem__(self, k):
+        self._read_keys.add(k)
+        return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        self._read_keys.add(k)
+        return super().get(k, default)
+
+    def setdefault(self, k, default=None):
+        self._read_keys.add(k)
+        return super().setdefault(k, default)
+
+    def unread_keys(self):
+        return sorted(set(self) - self._read_keys - self._IGNORED)
+
+
 class Trainer:
     """ref sg_trainer.py:119."""
 
@@ -69,6 +99,7 @@ class Trainer:
         self.test_metrics_history: List[Dict[str, Dict[str, float]]] = []
         self.train_metrics_history: List[Dict[str, float]] = []
         self._recipe_cfg: Optional[Dict] = None  # full cfg when launched via train_from_config
+        self.unconsumed_training_params: List[str] = []  # silent-drop guard report
 
     # ------------------------------------------------------------------ train
 
@@ -81,7 +112,7 @@ class Trainer:
         test_loaders: Optional[Dict[str, Any]] = None,
         additional_callbacks: Optional[Sequence[Callback]] = None,
     ):
-        tp = _default_training_params()
+        tp = _TrackedParams(_default_training_params())
         tp.update(training_params or {})
         self.training_params = tp
 
@@ -100,6 +131,11 @@ class Trainer:
                 logger.debug(f"preprocessing-params handoff skipped: {e}")
 
         mesh = get_mesh()
+        if tp.get("cross_replica_bn"):
+            # always-on by construction: the batch axis is sharded over the mesh and
+            # flax BN reduces over the full (global) batch under GSPMD — XLA inserts
+            # the cross-device mean itself, the SyncBN analogue is free
+            logger.info("cross_replica_bn=True: BN already reduces over the global batch on the mesh (no-op)")
         max_epochs = int(tp["max_epochs"])
         steps_per_epoch = len(train_loader)
         batch_accumulate = int(tp.get("batch_accumulate") or 1)
@@ -135,6 +171,7 @@ class Trainer:
             lr_updates=tp.get("lr_updates") or [],
             lr_decay_factor=float(tp.get("lr_decay_factor") or 0.1),
             lr_schedule_function=tp.get("lr_schedule_function"),
+            step_lr_update_freq=tp.get("step_lr_update_freq"),
         )
         tx = build_optimizer(
             optimizer=tp.get("optimizer", "SGD"),
@@ -228,6 +265,20 @@ class Trainer:
         else:
             apply_fn, param_transform = module.apply, (lambda p: p)
 
+        # bf16 mixed-precision policy (ref sg_trainer.py:503 autocast +
+        # :1765 GradScaler; mixed_precision.py docstring for the TPU design):
+        # params/opt/EMA stay fp32, forward+backward compute in bf16, outputs
+        # upcast to fp32 before the criterion and metrics. QAT fake-quant runs
+        # in fp32 (param_transform precedes the cast) so quantization math is
+        # unaffected.
+        mixed_precision = bool(tp.get("mixed_precision"))
+        from super_gradients_tpu.training.mixed_precision import to_bf16, to_f32
+
+        if mixed_precision:
+            cast_in, cast_out = to_bf16, to_f32
+        else:
+            cast_in, cast_out = (lambda t: t), (lambda t: t)
+
         base_rng = jax.random.PRNGKey(int(tp.get("seed") or 42))
 
         train_metrics = MetricCollection([get_metric(m) for m in (tp.get("train_metrics_list") or [])])
@@ -245,14 +296,18 @@ class Trainer:
             rngs = {"dropout": jax.random.fold_in(base_rng, st.step)}
 
             def loss_fn(p):
-                variables = {"params": param_transform(p)}
+                variables = {"params": cast_in(param_transform(p))}
+                x = cast_in(inputs)
                 if has_bn:
                     variables["batch_stats"] = st.batch_stats
-                    out, mut = apply_fn(variables, inputs, train=True, mutable=["batch_stats"], rngs=rngs)
-                    new_bs = mut["batch_stats"]
+                    out, mut = apply_fn(variables, x, train=True, mutable=["batch_stats"], rngs=rngs)
+                    # flax BN computes mean/var in fp32 regardless of activation
+                    # dtype; keep the running buffers fp32 (master precision)
+                    new_bs = to_f32(mut["batch_stats"]) if mixed_precision else mut["batch_stats"]
                 else:
-                    out = apply_fn(variables, inputs, train=True, rngs=rngs)
+                    out = apply_fn(variables, x, train=True, rngs=rngs)
                     new_bs = st.batch_stats
+                out = cast_out(out)  # fp32 loss/assigner/metric math
                 loss, aux = criterion(out, targets)
                 return loss, (aux, new_bs, out)
 
@@ -299,8 +354,11 @@ class Trainer:
 
         def _make_eval_step(criterion):
           def eval_step(variables, dev_metric_states, inputs, targets):
-            variables = {**variables, "params": param_transform(variables["params"])}
-            out = apply_fn(variables, inputs, train=False)
+            # validation runs under the same bf16 policy as training (the
+            # reference validates inside autocast too); BN running stats are
+            # read-only here so fp32 buffers with bf16 activations are exact
+            variables = {**variables, "params": cast_in(param_transform(variables["params"]))}
+            out = cast_out(apply_fn(variables, cast_in(inputs), train=False))
             mout = _metrics_view(out)
             new_dev = valid_metrics.update_device_only(dev_metric_states, mout, targets)
             host_aux = valid_metrics.preprocess_device(mout, targets)
@@ -341,6 +399,16 @@ class Trainer:
             train_loader=train_loader,
             valid_loader=valid_loader,
         )
+
+        # cadence / naming knobs read up-front (their action sites are conditional;
+        # reading here lets the silent-drop guard distinguish "consumed, acted on
+        # when relevant" from "ignored")
+        run_test_freq = int(tp.get("run_test_freq") or 1)
+        precise_bn_batches = int(tp.get("precise_bn_batch_size") or 16)
+        ckpt_name = tp.get("ckpt_name", "ckpt_latest")
+        ckpt_best_name = tp.get("ckpt_best_name", "ckpt_best")
+        save_ckpt_epoch_list = list(tp.get("save_ckpt_epoch_list") or [])
+        tp.get("load_opt_params", True)  # acted on inside _try_resume when resuming
 
         metric_to_watch = tp.get("metric_to_watch", "Accuracy")
         best_tracker = ckpt_utils.BestCheckpointTracker(bool(tp.get("greater_metric_to_watch_is_better", True)))
@@ -463,8 +531,7 @@ class Trainer:
                 if tp.get("precise_bn") and has_bn:
                     from super_gradients_tpu.training.precise_bn import precise_bn_stats
 
-                    n_pbn = int(tp.get("precise_bn_batch_size") or 16)
-                    precise = precise_bn_stats(module, state.params, state.batch_stats, train_loader, num_batches=n_pbn)
+                    precise = precise_bn_stats(module, state.params, state.batch_stats, train_loader, num_batches=precise_bn_batches)
                     # copy recomputed buffers into the EMA branch too (the reference's
                     # ModelEMA.update_attr copies non-param buffers before validation)
                     state = state.replace(
@@ -489,7 +556,10 @@ class Trainer:
 
                 # ---------- test loaders (ref sg_trainer.py:1596-1615) ----------
                 test_results: Dict[str, Dict[str, float]] = {}
-                if test_loaders and should_validate:
+                should_test = test_loaders and (
+                    (epoch + 1) % run_test_freq == 0 or epoch == max_epochs - 1
+                )
+                if should_test:
                     eval_vars = self._eval_variables(state, use_ema, has_bn)
                     for tname, tloader in test_loaders.items():
                         res = self._run_eval_loop(
@@ -522,13 +592,22 @@ class Trainer:
                 # ---------- checkpointing ----------
                 if tp.get("save_model", True) and jax.process_index() == 0:
                     self._save_epoch_checkpoints(
-                        state, model, epoch, tp, valid_results, metric_to_watch, best_tracker, averager, use_ema, has_bn
+                        state, model, epoch, valid_results, metric_to_watch, best_tracker, averager, use_ema, has_bn,
+                        ckpt_name=ckpt_name, ckpt_best_name=ckpt_best_name, save_ckpt_epoch_list=save_ckpt_epoch_list,
                     )
         except KeyboardInterrupt:
             logger.info("Ctrl-C — finishing gracefully (checkpoint preserved)")
 
         handler.on_training_end(context)
         self.sg_logger.close()
+
+        unread = tp.unread_keys()
+        self.unconsumed_training_params = unread
+        if unread:
+            logger.warning(
+                f"training_params keys declared but never consumed this run (silent-drop guard): {unread} — "
+                f"each is either unsupported on TPU or misspelled; file an issue if you expected an effect"
+            )
 
         # hand the trained weights back to the model wrapper (EMA if enabled)
         final_vars = self._eval_variables(state, use_ema, has_bn)
@@ -567,7 +646,9 @@ class Trainer:
         v = state.ema_variables if use_ema else state.variables
         return v
 
-    def _save_epoch_checkpoints(self, state, model, epoch, tp, valid_results, metric_to_watch, best_tracker, averager, use_ema, has_bn):
+    def _save_epoch_checkpoints(self, state, model, epoch, valid_results, metric_to_watch, best_tracker, averager,
+                                use_ema, has_bn, ckpt_name="ckpt_latest", ckpt_best_name="ckpt_best",
+                                save_ckpt_epoch_list=()):
         state_tree = {
             "step": state.step,
             "params": state.params,
@@ -580,9 +661,9 @@ class Trainer:
             "opt_state": state.opt_state,
         }
         meta = {"epoch": epoch, "metrics": valid_results, "experiment": self.experiment_name, "ckpt_version": 2}
-        ckpt_utils.save_checkpoint(self.ckpt_dir, tp.get("ckpt_name", "ckpt_latest"), state_tree, meta)
+        ckpt_utils.save_checkpoint(self.ckpt_dir, ckpt_name, state_tree, meta)
 
-        if epoch in (tp.get("save_ckpt_epoch_list") or []):
+        if epoch in (save_ckpt_epoch_list or ()):
             ckpt_utils.save_checkpoint(self.ckpt_dir, f"ckpt_epoch_{epoch}", state_tree, meta)
 
         watched = valid_results.get(metric_to_watch)
@@ -591,7 +672,7 @@ class Trainer:
                 averager.update(watched, state.ema_params if use_ema else state.params)
             if best_tracker.is_improvement(watched):
                 self.best_metric = watched
-                ckpt_utils.save_checkpoint(self.ckpt_dir, tp.get("ckpt_best_name", "ckpt_best"), state_tree, meta)
+                ckpt_utils.save_checkpoint(self.ckpt_dir, ckpt_best_name, state_tree, meta)
                 logger.info(f"New best {metric_to_watch}={watched:.4f} → ckpt_best")
         if averager is not None and averager.snapshots:
             avg = averager.averaged_params()
@@ -620,8 +701,12 @@ class Trainer:
             "ema_params": state.ema_params or {},
             "ema_batch_stats": state.ema_batch_stats or {},
         }
-        restore_opt = int(meta.get("ckpt_version", 1)) >= 2
-        if restore_opt:
+        # the restore target must match the saved tree structure, so opt_state is
+        # always included for v2 checkpoints; load_opt_params=False discards it
+        # after the restore (momentum/moments start fresh — ref sg_trainer.py:1331,1419)
+        has_opt = int(meta.get("ckpt_version", 1)) >= 2
+        restore_opt = has_opt and bool(tp.get("load_opt_params", True))
+        if has_opt:
             target["opt_state"] = state.opt_state
         restored = ckpt_utils.load_checkpoint(ckpt_dir, name, target)
         start_epoch = int(meta.get("epoch", -1)) + 1
@@ -634,7 +719,10 @@ class Trainer:
             opt_state=restored["opt_state"] if restore_opt else state.opt_state,
         )
         if not restore_opt:
-            logger.warning("Checkpoint has no optimizer state (v1 format) — momentum/moments start fresh")
+            if not tp.get("load_opt_params", True):
+                logger.info("load_opt_params=False — momentum/moments start fresh")
+            else:
+                logger.warning("Checkpoint has no optimizer state (v1 format) — momentum/moments start fresh")
         logger.info(f"Resumed from {ckpt_dir}/{name} at epoch {start_epoch}")
         return state, start_epoch
 
