@@ -27,6 +27,18 @@ A100_TRT_IMG_PER_S = 640.0  # published-extrapolated reference throughput
 BASELINE = 2.0 * A100_TRT_IMG_PER_S
 
 
+
+# Headline NMS config. iou_dtype is fp32: tests/test_nms_bf16_iou.py measured
+# 10-17% kept-box divergence for bf16 IoU on dense fixtures — far above the
+# 0.5% gate — so the bf16-IoU fast path is NOT used for the headline number
+# (it remains available via batched_nms(iou_dtype=jnp.bfloat16) for users who
+# accept the tradeoff).
+HEADLINE_NMS_KWARGS = dict(
+    score_threshold=0.25, iou_threshold=0.7, nms_top_k=1024, max_predictions=300,
+    mode="fast", iou_dtype=jnp.float32,
+)
+
+
 def build_program(model):
     """Fused predict program: raw uint8 NHWC → NMSOutput, one XLA executable.
 
@@ -47,11 +59,11 @@ def build_program(model):
         out = module.apply(variables, x, train=False)
         return batched_nms(
             out.pred_bboxes.astype(jnp.float32), out.pred_scores.astype(jnp.float32),
-            score_threshold=0.25, iou_threshold=0.7,
-            nms_top_k=1024, max_predictions=300, mode="fast", iou_dtype=jnp.bfloat16,
+            **HEADLINE_NMS_KWARGS,
         )
 
     return jax.jit(predict_program)
+
 
 
 def flops_per_call(fn, *args):
@@ -126,7 +138,33 @@ class _SyntheticCocoDataset:
                    all_classes_list=[str(i) for i in range(80)])
 
 
-def train_bench(batch, image, steps, num_workers):
+def make_train_step(model, criterion, tx, mixed_precision=True):
+    """One jitted train step under the Trainer's bf16 policy (fp32 master
+    params/opt/BN buffers, bf16 forward+backward, fp32 loss — see
+    training/mixed_precision.py)."""
+    import optax
+
+    from super_gradients_tpu.training.mixed_precision import to_bf16, to_f32
+
+    cast_in, cast_out = (to_bf16, to_f32) if mixed_precision else ((lambda t: t), (lambda t: t))
+
+    def loss_fn(p, bs, images, targets):
+        out, mut = model.module.apply(
+            {"params": cast_in(p), "batch_stats": bs}, cast_in(images), train=True, mutable=["batch_stats"]
+        )
+        loss, _aux = criterion(cast_out(out), targets)
+        return loss, to_f32(mut["batch_stats"])
+
+    @jax.jit
+    def train_step(p, bs, opt, images, targets):
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, bs, images, targets)
+        updates, new_opt = tx.update(grads, opt, p)
+        return optax.apply_updates(p, updates), new_bs, new_opt, loss
+
+    return train_step
+
+
+def train_bench(batch, image, steps, num_workers, mixed_precision=True):
     """YOLO-NAS-M + PPYoloELoss train-step throughput with the mosaic input
     pipeline on worker processes. Returns (img/s, loader_wait_pct, flops/step)."""
     import optax
@@ -141,17 +179,7 @@ def train_bench(batch, image, steps, num_workers):
     variables = model.variables
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
     opt_state = tx.init(params)
-
-    def loss_fn(p, bs, images, targets):
-        out, mut = model.module.apply({"params": p, "batch_stats": bs}, images, train=True, mutable=["batch_stats"])
-        loss, _aux = criterion(out, targets)
-        return loss, mut["batch_stats"]
-
-    @jax.jit
-    def train_step(p, bs, opt, images, targets):
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, bs, images, targets)
-        updates, new_opt = tx.update(grads, opt, p)
-        return optax.apply_updates(p, updates), new_bs, new_opt, loss
+    train_step = make_train_step(model, criterion, tx, mixed_precision)
 
     ds = _SyntheticCocoDataset(max(batch * 4, 64), (image, image), 120)
     loader = DataLoader(ds, batch_size=batch, shuffle=True, num_workers=num_workers, prefetch_factor=4)
@@ -229,12 +257,15 @@ def main():
 
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         try:
-            tb, tw = int(os.environ.get("BENCH_TRAIN_BATCH", 32)), int(os.environ.get("BENCH_TRAIN_WORKERS", max(2, (os.cpu_count() or 2) - 1)))
+            # batch 64 = peak of the b∈{32,48,64,96} bf16 train-step sweep on v5e
+            tb, tw = int(os.environ.get("BENCH_TRAIN_BATCH", 64)), int(os.environ.get("BENCH_TRAIN_WORKERS", max(2, (os.cpu_count() or 2) - 1)))
             tsteps = int(os.environ.get("BENCH_TRAIN_STEPS", 10))
-            t_ips, wait_pct, t_fl, t_compute_ips = train_bench(tb, IMAGE, tsteps, tw)
+            train_mp = os.environ.get("BENCH_TRAIN_MP", "1") != "0"
+            t_ips, wait_pct, t_fl, t_compute_ips = train_bench(tb, IMAGE, tsteps, tw, mixed_precision=train_mp)
             result["train_images_per_s"] = round(t_ips, 2)
             result["train_compute_images_per_s"] = round(t_compute_ips, 2)  # step throughput w/o host loader
             result["train_loader_wait_pct"] = round(wait_pct, 1)  # NOTE: 1-vCPU host; mosaic is host-bound here
+            result["train_mixed_precision"] = train_mp  # the Trainer's bf16 policy (mixed_precision=True)
             if t_fl:
                 result["train_achieved_tflops"] = round(t_fl / tb * t_compute_ips / 1e12, 1)
         except Exception as e:

@@ -208,7 +208,15 @@ def best_score_thresholds(
     ENVELOPE precision / rolling recall are sampled at 101 score thresholds and
     F1 is averaged over ALL IoU thresholds; the global threshold maximizes the
     class-mean of that curve. Returns
-    (global_threshold, global_best_f1, {class_id: per_class_threshold})."""
+    (global_threshold, global_best_f1, {class_id: per_class_threshold}).
+
+    NOTE on the grid: the reference's sweep is the FIXED grid
+    ``torch.linspace(0, 1, nb_score_thrs)`` (detection_utils.py:1418 and :1561
+    ``all_score_thresholds``), NOT the observed confidence values — the rolling
+    P/R curves are indexed at each grid point via searchsorted over the sorted
+    scores. Our 101-point ``np.linspace`` grid is therefore bit-identical in
+    semantics; ``tests/test_detection_metrics_golden.py`` asserts the global and
+    per-class thresholds against the reference's own code at 1e-6."""
     if len(conf) == 0:
         return 0.0, 0.0, {}
     tp = np.asarray(tp, dtype=bool)
