@@ -146,6 +146,13 @@ def load_arch_params(config_name: str, recipes_dir_path: Optional[str] = None,
     returns the full module-spec tree consumed by ``models.get(..., arch_params=...)``."""
     base = recipes_dir_path or _PKG_RECIPE_DIR
     params = _load_yaml(_resolve_group_file(base, "arch_params", config_name))
+    # group-local defaults (ref hydra: e.g. repvgg_a0_arch_params includes
+    # repvgg_arch_params); later entries and the file itself win
+    for entry in params.pop("defaults", []):
+        if entry == "_self_":
+            continue
+        sub = load_arch_params(str(entry), recipes_dir_path=recipes_dir_path)
+        params = deep_merge(sub, params)
     params.update(overriding_params or {})
     return resolve_interpolations(params)
 

@@ -295,7 +295,15 @@ def _pose_spec(config_fn, num_classes=None, arch_params=None, image_size: int = 
 
     arch_params = arch_params or {}
     nj = num_classes or arch_params.get("num_joints", 17)
-    cfg = config_fn(num_joints=nj)
+    if "backbone" in arch_params:
+        # full reference pose arch_params YAML (recipes/arch_params/
+        # yolo_nas_pose_*_arch_params.yaml) — reshape from config
+        from super_gradients_tpu.models.pose.yolo_nas_pose import yolo_nas_pose_config_from_arch_params
+
+        cfg = yolo_nas_pose_config_from_arch_params(arch_params, num_joints=num_classes)
+        nj = cfg.num_joints
+    else:
+        cfg = config_fn(num_joints=nj)
     import functools
 
     from super_gradients_tpu.conversion.torch_converter import yolo_nas_pose_key_mapper
@@ -375,8 +383,10 @@ def mobilenet_v3_large(num_classes=None, arch_params=None, **kw):
 
     from super_gradients_tpu.conversion.torch_converter import mobilenet_v3_key_mapper
 
-    nc = num_classes or 1000
-    return _cls_spec(MobileNetV3(num_classes=nc, mode="large"), nc, torch_key_mapper=mobilenet_v3_key_mapper)
+    ap = arch_params or {}
+    nc = num_classes or ap.get("num_classes") or 1000
+    return _cls_spec(MobileNetV3(num_classes=nc, mode=ap.get("mode") or "large", width_mult=float(ap.get("width_mult") or 1.0)),
+                     nc, torch_key_mapper=mobilenet_v3_key_mapper)
 
 
 @register_model("mobilenet_v3_small")
@@ -385,8 +395,10 @@ def mobilenet_v3_small(num_classes=None, arch_params=None, **kw):
 
     from super_gradients_tpu.conversion.torch_converter import mobilenet_v3_key_mapper
 
-    nc = num_classes or 1000
-    return _cls_spec(MobileNetV3(num_classes=nc, mode="small"), nc, torch_key_mapper=mobilenet_v3_key_mapper)
+    ap = arch_params or {}
+    nc = num_classes or ap.get("num_classes") or 1000
+    return _cls_spec(MobileNetV3(num_classes=nc, mode=ap.get("mode") or "small", width_mult=float(ap.get("width_mult") or 1.0)),
+                     nc, torch_key_mapper=mobilenet_v3_key_mapper)
 
 
 @register_model("mobilenet_v1")
@@ -403,8 +415,14 @@ def mobilenet_v1(num_classes=None, arch_params=None, **kw):
 def _efficientnet(variant, num_classes=None, arch_params=None, **kw):
     from super_gradients_tpu.models.classification.efficientnet import EFFICIENTNET_PARAMS, EfficientNet
 
-    nc = num_classes or 1000
+    ap = arch_params or {}
+    nc = num_classes or ap.get("num_classes") or 1000
     w, d, res, drop = EFFICIENTNET_PARAMS[variant]
+    # reference arch_params schema (recipes/arch_params/efficientnet_b*_arch_params.yaml)
+    w = float(ap.get("width_coefficient") or w)
+    d = float(ap.get("depth_coefficient") or d)
+    drop = float(ap.get("dropout_rate") or drop)
+    res = int(ap.get("image_size") or res)
     from super_gradients_tpu.conversion.torch_converter import efficientnet_key_mapper
 
     return _cls_spec(EfficientNet(num_classes=nc, width_coeff=w, depth_coeff=d, dropout=drop), nc, (res, res),
@@ -437,8 +455,15 @@ def vit_base_model(num_classes=None, arch_params=None, **kw):
     from super_gradients_tpu.conversion.torch_converter import vit_key_mapper
     from super_gradients_tpu.models.classification.vit import vit_base
 
-    nc = num_classes or 1000
-    return _cls_spec(vit_base(num_classes=nc), nc, torch_key_mapper=vit_key_mapper)
+    ap = arch_params or {}
+    nc = num_classes or ap.get("num_classes") or 1000
+    kw2 = {}
+    if ap.get("patch_size"):
+        psz = ap["patch_size"]
+        kw2["patch_size"] = int(psz[0] if isinstance(psz, (list, tuple)) else psz)
+    im = ap.get("image_size")
+    hw = (int(im[0]), int(im[1])) if isinstance(im, (list, tuple)) else ((int(im), int(im)) if im else (224, 224))
+    return _cls_spec(vit_base(num_classes=nc, **kw2), nc, hw, torch_key_mapper=vit_key_mapper)
 
 
 @register_model("vit_large")
@@ -446,7 +471,8 @@ def vit_large_model(num_classes=None, arch_params=None, **kw):
     from super_gradients_tpu.conversion.torch_converter import vit_key_mapper
     from super_gradients_tpu.models.classification.vit import vit_large
 
-    nc = num_classes or 1000
+    ap = arch_params or {}
+    nc = num_classes or ap.get("num_classes") or 1000
     return _cls_spec(vit_large(num_classes=nc), nc, torch_key_mapper=vit_key_mapper)
 
 
@@ -575,8 +601,19 @@ def _yolox_spec(variant, num_classes=None, arch_params=None, image_size: int = 6
     from super_gradients_tpu.conversion.torch_converter import yolox_key_mapper
     from super_gradients_tpu.models.detection.yolox import YoloX, yolox_config
 
-    nc = num_classes or (arch_params or {}).get("num_classes", 80)
+    import dataclasses
+
+    ap = arch_params or {}
+    nc = num_classes or ap.get("num_classes", 80)
     cfg = yolox_config(variant, nc)
+    # reference arch_params YAML schema (recipes/arch_params/yolox_*_arch_params.yaml):
+    # depth_mult_factor / width_mult_factor reshape the whole model
+    if "depth_mult_factor" in ap or "width_mult_factor" in ap:
+        cfg = dataclasses.replace(
+            cfg,
+            depth=float(ap.get("depth_mult_factor", cfg.depth)),
+            width=float(ap.get("width_mult_factor", cfg.width)),
+        )
     return ModelSpec(
         module=YoloX(cfg),
         task="detection",
@@ -594,13 +631,42 @@ for _v in ["yolox_n", "yolox_t", "yolox_s", "yolox_m", "yolox_l"]:
     register_model(_v)(lambda num_classes=None, arch_params=None, _v=_v, **kw: _yolox_spec(_v, num_classes, arch_params, **kw))
 
 
+
+def _ssd_anchor_overrides(arch_params):
+    """Translate the reference's ``heads.SSDHead.anchors`` YAML subtree
+    (recipes/arch_params/ssd_*_arch_params.yaml DefaultBoxes spec) into
+    SSDConfig field overrides."""
+    a = ((arch_params or {}).get("heads", {}) or {}).get("SSDHead", {}).get("anchors", {})
+    out = {}
+    if a.get("fig_size"):
+        out["fig_size"] = int(a["fig_size"])
+    if a.get("feat_size"):
+        out["feat_sizes"] = tuple(int(x) for x in a["feat_size"])
+    if a.get("scales"):
+        out["scales"] = tuple(int(x) for x in a["scales"])
+    if a.get("aspect_ratios"):
+        out["aspect_ratios"] = tuple(tuple(int(x) for x in ar) for ar in a["aspect_ratios"])
+    if a.get("scale_xy"):
+        out["scale_xy"] = float(a["scale_xy"])
+    if a.get("scale_wh"):
+        out["scale_wh"] = float(a["scale_wh"])
+    nc = (arch_params or {}).get("heads", {}).get("SSDHead", {}).get("num_classes")
+    if nc:
+        out["num_classes"] = int(nc)
+    return out
+
+
 @register_model("ssd_lite_mobilenet_v2")
 def ssd_lite_mobilenet_v2(num_classes=None, arch_params=None, image_size: int = 320, **kw) -> ModelSpec:
     from super_gradients_tpu.conversion.torch_converter import ssd_lite_mobilenet_v2_key_mapper
     from super_gradients_tpu.models.detection.ssd import SSDConfig, SSDLiteMobileNetV2
 
-    nc = num_classes or (arch_params or {}).get("num_classes", 80)
-    cfg = SSDConfig(num_classes=nc, fig_size=image_size)
+    import dataclasses
+
+    over = _ssd_anchor_overrides(arch_params)
+    nc = num_classes or (arch_params or {}).get("num_classes") or over.get("num_classes", 80)
+    over["num_classes"] = nc
+    cfg = dataclasses.replace(SSDConfig(fig_size=image_size), **over)
     return ModelSpec(
         module=SSDLiteMobileNetV2(cfg),
         task="detection",
@@ -623,8 +689,18 @@ def _repvgg(variant, num_classes=None, arch_params=None, **kw):
 
     from super_gradients_tpu.conversion.torch_converter import repvgg_key_mapper
 
-    nc = num_classes or 1000
+    ap = arch_params or {}
+    nc = num_classes or ap.get("num_classes") or 1000
     cfg = dataclasses.replace(REPVGG_VARIANTS[variant], num_classes=nc)
+    # reference arch_params schema (recipes/arch_params/repvgg*_arch_params.yaml):
+    # struct = blocks per stage; width_multiplier = [a, a, a, b]
+    if ap.get("struct"):
+        cfg = dataclasses.replace(cfg, blocks_per_stage=tuple(ap["struct"]))
+    if ap.get("width_multiplier"):
+        wm = list(ap["width_multiplier"])
+        cfg = dataclasses.replace(cfg, width_a=float(wm[0]), width_b=float(wm[-1]))
+    if ap.get("use_se"):
+        cfg = dataclasses.replace(cfg, se_ratio=0.25)
     return _cls_spec(RepVGG(cfg), nc, torch_key_mapper=repvgg_key_mapper)
 
 
@@ -723,8 +799,21 @@ def dekr_w32(num_classes=None, arch_params=None, image_size: int = 512, **kw) ->
 
     arch_params = arch_params or {}
     nj = num_classes or arch_params.get("num_joints", 17)
-    cfg = DEKRConfig(num_joints=nj, width=arch_params.get("width", 32),
-                     offset_block=arch_params.get("offset_block", "basic"))
+    spec = arch_params.get("SPEC") or {}
+    stages = spec.get("STAGES") or {}
+    head_hm = spec.get("HEAD_HEATMAP") or {}
+    head_off = spec.get("HEAD_OFFSET") or {}
+    width = arch_params.get("width") or (stages.get("NUM_CHANNELS") or [[32]])[0][0]
+    cfg = DEKRConfig(
+        num_joints=nj,
+        width=int(width),
+        stage_modules=tuple(stages["NUM_MODULES"]) if stages.get("NUM_MODULES") else DEKRConfig.stage_modules,
+        heatmap_channels=int(head_hm.get("NUM_CHANNELS") or 32),
+        heatmap_blocks=int(head_hm.get("NUM_BLOCKS") or 1),
+        offset_channels_per_joint=int(head_off.get("NUM_CHANNELS_PERKPT") or 15),
+        offset_blocks=int(head_off.get("NUM_BLOCKS") or 2),
+        offset_block=arch_params.get("offset_block", "basic"),
+    )
     return ModelSpec(
         module=DEKRPoseEstimationModel(cfg),
         task="generic",  # DEKR decode is heatmap-based; use dekr_decode directly
@@ -1118,8 +1207,12 @@ def ssd_mobilenet_v1(num_classes=None, arch_params=None, image_size: int = 320, 
     from super_gradients_tpu.conversion.torch_converter import ssd_mobilenet_v1_key_mapper
     from super_gradients_tpu.models.detection.ssd import SSDMobileNetV1, v1_config
 
-    nc = num_classes or (arch_params or {}).get("num_classes", 80)
-    cfg = v1_config(num_classes=nc, fig_size=image_size)
+    import dataclasses
+
+    over = _ssd_anchor_overrides(arch_params)
+    nc = num_classes or (arch_params or {}).get("num_classes") or over.get("num_classes", 80)
+    over["num_classes"] = nc
+    cfg = dataclasses.replace(v1_config(fig_size=image_size), **over)
     return ModelSpec(
         module=SSDMobileNetV1(cfg),
         task="detection",

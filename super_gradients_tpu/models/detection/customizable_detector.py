@@ -105,8 +105,11 @@ def yolo_nas_config_from_arch_params(arch_params: Mapping, num_classes: Optional
     neck = inner(arch_params["neck"])
     up1, up2 = inner(neck["neck1"]), inner(neck["neck2"])
     dn3, dn4 = inner(neck["neck3"]), inner(neck["neck4"])
-    heads = inner(arch_params["heads"])
-    head_list = [inner(h) for h in heads["heads_list"]]
+    # "heads" may be absent when the caller replaces the head family entirely
+    # (yolo_nas_pose_config_from_arch_params parses YoloNASPoseNDFLHeads itself
+    # and reuses this function for the shared backbone+neck spec only)
+    heads = inner(arch_params["heads"]) if "heads" in arch_params else {}
+    head_list = [inner(h) for h in heads.get("heads_list", [])]
 
     def stage_cfg(p):
         return StageCfg(

@@ -221,3 +221,34 @@ def yolo_nas_pose_m_config(num_joints: int = 17) -> YoloNASPoseConfig:
 
 def yolo_nas_pose_l_config(num_joints: int = 17) -> YoloNASPoseConfig:
     return YoloNASPoseConfig(base=yolo_nas_l_config(1), heads=_pose_heads(1.0), num_joints=num_joints)
+
+
+def yolo_nas_pose_config_from_arch_params(arch_params, num_joints=None) -> "YoloNASPoseConfig":
+    """Translate the REFERENCE pose arch_params YAML schema
+    (recipes/arch_params/yolo_nas_pose_*_arch_params.yaml: NStageBackbone /
+    YoloNASPANNeckWithC2 spec shared with the detector + YoloNASPoseNDFLHeads
+    heads_list) into a :class:`YoloNASPoseConfig` — pose detectors reshapeable
+    purely from YAML like the reference's CustomizableDetector."""
+    from super_gradients_tpu.models.detection.customizable_detector import yolo_nas_config_from_arch_params
+
+    base = yolo_nas_config_from_arch_params({k: v for k, v in arch_params.items() if k != "heads"}, 1)
+    hspec = arch_params.get("heads", {}).get("YoloNASPoseNDFLHeads", {})
+    nj = num_joints or hspec.get("num_classes") or 17
+    heads = []
+    for entry in hspec.get("heads_list", []):
+        (hname, hp), = entry.items() if isinstance(entry, dict) else ((entry, {}),)
+        heads.append(PoseHeadCfg(
+            bbox_inter_channels=int(hp["bbox_inter_channels"]),
+            pose_inter_channels=int(hp["pose_inter_channels"]),
+            pose_regression_blocks=int(hp.get("pose_regression_blocks", 2)),
+            width_mult=float(hp.get("width_mult", 1.0)),
+            stride=int(hp["stride"]),
+        ))
+    if not heads:
+        heads = list(_pose_heads(1.0))
+    return YoloNASPoseConfig(
+        base=base, heads=tuple(heads), num_joints=int(nj),
+        reg_max=int(hspec.get("reg_max", 16)),
+        pose_offset_multiplier=float(hspec.get("pose_offset_multiplier", 1.0)),
+        compensate_grid_cell_offset=bool(hspec.get("compensate_grid_cell_offset", True)),
+    )
