@@ -62,12 +62,19 @@ class Processing:
 
 
 def _resize_bilinear(image: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
-    """Host bilinear resize via PIL (no cv2 in this environment)."""
-    from PIL import Image
-
+    """Host bilinear resize — cv2 INTER_LINEAR to match the reference's kernel
+    exactly (ref transforms/utils.py:25 ``_rescale_image``; PIL's BILINEAR
+    antialiases on downscale and diverges pixel-wise), PIL fallback."""
     h, w = out_hw
-    pil = Image.fromarray(image.astype(np.uint8) if image.dtype != np.uint8 else image)
-    return np.asarray(pil.resize((w, h), Image.BILINEAR))
+    try:
+        import cv2
+
+        return cv2.resize(image, dsize=(w, h), interpolation=cv2.INTER_LINEAR)
+    except ImportError:
+        from PIL import Image
+
+        pil = Image.fromarray(image.astype(np.uint8) if image.dtype != np.uint8 else image)
+        return np.asarray(pil.resize((w, h), Image.BILINEAR))
 
 
 @register_processing("DetectionLongestMaxSizeRescale")
@@ -187,9 +194,14 @@ class KeypointsRescale(DetectionRescale):
 
 
 def _resize_nearest(seg: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
-    from PIL import Image
+    try:
+        import cv2
 
-    return np.asarray(Image.fromarray(seg.astype(np.uint8)).resize((out_hw[1], out_hw[0]), Image.NEAREST))
+        return cv2.resize(seg.astype(np.uint8), dsize=(out_hw[1], out_hw[0]), interpolation=cv2.INTER_NEAREST)
+    except ImportError:
+        from PIL import Image
+
+        return np.asarray(Image.fromarray(seg.astype(np.uint8)).resize((out_hw[1], out_hw[0]), Image.NEAREST))
 
 
 @register_processing("SegmentationResizeWithPadding")

@@ -300,7 +300,7 @@ class DetectionModel(SgModel):
         return cache[key]
 
     def _predict_program(self, conf, iou, nms_top_k, max_predictions, multi_label, class_agnostic, nms_mode,
-                         fuse_model=True, bf16=True):
+                         fuse_model=True, bf16=True, prefilter="two_stage"):
         """One jitted program: [B,H,W,3] float (0..255-standardized already) → NMSOutput."""
 
         module, variables = self._infer_module_and_vars(fuse_model, bf16)
@@ -319,6 +319,7 @@ class DetectionModel(SgModel):
                 multi_label=multi_label,
                 class_agnostic=class_agnostic,
                 mode=nms_mode,
+                prefilter=prefilter,
             )
 
         return program
@@ -336,9 +337,14 @@ class DetectionModel(SgModel):
         nms_mode: str = "exact",
         fuse_model: bool = True,
         bf16: bool = True,
+        nms_prefilter: str = "two_stage",
     ) -> ImagesPredictions:
         """Run the fused predict pipeline (ref ``model.predict``,
-        customizable_detector.py:281-323 + pipelines.py:102-236)."""
+        customizable_detector.py:281-323 + pipelines.py:102-236).
+
+        ``nms_prefilter``: "two_stage" (fast per-anchor class_top_k candidate
+        selection) or "flat" (the reference's exact candidate set — single
+        top-k over all (anchor, class) pairs)."""
         from super_gradients_tpu.inference.video import includes_video_extension
 
         if isinstance(images, str) and includes_video_extension(images):
@@ -357,10 +363,10 @@ class DetectionModel(SgModel):
 
         image_list, batches, metas = self._prep_host_batches(images, batch_size)
 
-        key = ("det", conf, iou, nms_top_k, max_predictions, multi_label, class_agnostic, nms_mode, fuse_model, bf16)
+        key = ("det", conf, iou, nms_top_k, max_predictions, multi_label, class_agnostic, nms_mode, fuse_model, bf16, nms_prefilter)
         if key not in self._predict_cache:
             self._predict_cache[key] = self._predict_program(
-                conf, iou, nms_top_k, max_predictions, multi_label, class_agnostic, nms_mode, fuse_model, bf16
+                conf, iou, nms_top_k, max_predictions, multi_label, class_agnostic, nms_mode, fuse_model, bf16, nms_prefilter
             )
         program = self._predict_cache[key]
 

@@ -53,9 +53,17 @@ class DetectionTransform:
 
 
 def _resize(image: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
-    from PIL import Image
+    # cv2 INTER_LINEAR matches the reference's train-time rescale kernel
+    # (ref transforms/utils.py:25) and is ~5x faster than PIL on the hot
+    # mosaic path; PIL stays as the no-cv2 fallback
+    try:
+        import cv2
 
-    return np.asarray(Image.fromarray(image.astype(np.uint8)).resize((out_hw[1], out_hw[0]), Image.BILINEAR))
+        return cv2.resize(image.astype(np.uint8), dsize=(out_hw[1], out_hw[0]), interpolation=cv2.INTER_LINEAR)
+    except ImportError:
+        from PIL import Image
+
+        return np.asarray(Image.fromarray(image.astype(np.uint8)).resize((out_hw[1], out_hw[0]), Image.BILINEAR))
 
 
 @register_transform("DetectionStandardize")
