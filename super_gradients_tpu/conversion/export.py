@@ -76,8 +76,16 @@ def export_detection_model(
     (:func:`super_gradients_tpu.training.quantization.ptq` /
     ``QuantizationCalibrator``), every calibrated module's activations pass
     through the calibrated int8 fake-quant — so the exported StableHLO reproduces
-    an int8 engine's accuracy exactly, while XLA:TPU lowers the (uniform-grid)
-    quantized tensors onto the native int8 MXU path where supported.
+    an int8 engine's ACCURACY exactly.
+
+    It is an accuracy simulation, NOT a throughput mode. Measured on v5e
+    (round 4): fake-quant (quantize-dequantize) convs compile to the bf16 conv
+    path (1.03x), and even true int8 ``lax.conv``/im2col-``dot_general``
+    lowerings reach at best ~1.1-1.3x on deep layers while LOSING on the
+    end-to-end program — bf16 convs already run at ~MXU peak (217-225 TF) on
+    this generation, so unlike the reference's T4/TensorRT story
+    (``YOLONAS.md:17-21`` INT8 = 1.5x FP16) there is no int8 serving speedup to
+    harvest. Use int8 export to validate deployment accuracy; serve in bf16.
     """
     from jax import export as jax_export
 
@@ -119,14 +127,20 @@ def export_detection_model(
         if photometric is not None:
             x = photometric(x).astype(in_dtype)
         out = apply_fn(variables, x, train=False)
+        # same NMS input as the live predict program (sg_model._predict_program):
+        # heads with the sigmoid contract feed raw logits so the exported and
+        # live programs stay candidate-for-candidate identical (incl. ordering
+        # inside saturated-score ties — see ops/nms.py scores_are_logits)
+        use_logits = type(out).__name__ == "YoloNASOutputs"
         return batched_nms(
-            out.pred_bboxes.astype(jnp.float32),
-            out.pred_scores.astype(jnp.float32),
+            out.pred_bboxes,
+            out.cls_logits if use_logits else out.pred_scores,
             score_threshold=confidence_threshold,
             iou_threshold=nms_threshold,
             nms_top_k=nms_top_k,
             max_predictions=max_predictions,
             mode=nms_mode,
+            scores_are_logits=use_logits,
         )
 
     spec = jax.ShapeDtypeStruct((batch_size, image_hw[0], image_hw[1], 3), jnp.uint8 if preprocessing else jnp.float32)

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from super_gradients_tpu.common.logging_utils import get_logger
+from super_gradients_tpu.common.xla_tuning import tuned_jit
 from super_gradients_tpu.inference.media import images_to_list
 from super_gradients_tpu.inference.prediction_results import (
     ClassificationPrediction,
@@ -306,12 +307,22 @@ class DetectionModel(SgModel):
         module, variables = self._infer_module_and_vars(fuse_model, bf16)
         in_dtype = jnp.bfloat16 if bf16 else jnp.float32
 
-        @jax.jit
+        @tuned_jit
         def program(images: jnp.ndarray) -> NMSOutput:
             outputs = module.apply(variables, images.astype(in_dtype), train=False)
+            # For heads whose pred_scores == sigmoid(cls_logits.astype(f32))
+            # (YOLO-NAS / PP-YOLOE), NMS prefilters on the raw logit map and
+            # sigmoids only the gathered candidates — identical outputs up to
+            # ordering within saturated-score ties (see ops/nms.py), and XLA
+            # DCEs the full-map fp32 sigmoid. conversion/export.py mirrors this
+            # so live and exported programs match candidate-for-candidate.
+            # YoloNASOutputs IS that contract (PP-YOLOE returns it too); YoloX
+            # (obj*cls product) and SSD (softmax) keep the score-map path.
+            use_logits = type(outputs).__name__ == "YoloNASOutputs"
+            scores = outputs.cls_logits if use_logits else outputs.pred_scores
             return batched_nms(
-                outputs.pred_bboxes.astype(jnp.float32),
-                outputs.pred_scores.astype(jnp.float32),
+                outputs.pred_bboxes,
+                scores,
                 score_threshold=conf,
                 iou_threshold=iou,
                 nms_top_k=nms_top_k,
@@ -320,6 +331,7 @@ class DetectionModel(SgModel):
                 class_agnostic=class_agnostic,
                 mode=nms_mode,
                 prefilter=prefilter,
+                scores_are_logits=use_logits,
             )
 
         return program
@@ -427,7 +439,7 @@ class ClassificationModel(SgModel):
         if "cls" not in self._predict_cache:
             variables, module = self.variables, self.module
 
-            @jax.jit
+            @tuned_jit
             def program(x):
                 logits = module.apply(variables, x, train=False)
                 return jax.nn.softmax(logits, axis=-1)
@@ -461,7 +473,7 @@ class SegmentationModel(SgModel):
         if "seg" not in self._predict_cache:
             variables, module = self.variables, self.module
 
-            @jax.jit
+            @tuned_jit
             def program(x):
                 logits = module.apply(variables, x, train=False)
                 return jnp.argmax(logits, axis=-1)
@@ -537,14 +549,14 @@ class PoseEstimationModel(SgModel):
             module = self.module
             in_dtype = jnp.bfloat16 if bf16 else jnp.float32
 
-            @jax.jit
+            @tuned_jit
             def program(imgs):
                 out = module.apply(variables, imgs.astype(in_dtype), train=False)
                 return batched_pose_nms(
-                    out.pred_bboxes.astype(jnp.float32),
-                    out.pred_scores.astype(jnp.float32),
-                    out.pred_pose_coords.astype(jnp.float32),
-                    out.pred_pose_scores.astype(jnp.float32),
+                    out.pred_bboxes,
+                    out.pred_scores,
+                    out.pred_pose_coords,
+                    out.pred_pose_scores,
                     score_threshold=conf,
                     iou_threshold=iou,
                     nms_top_k=nms_top_k,
@@ -606,14 +618,14 @@ class PoseEstimationModel(SgModel):
             module = self.module
             in_dtype = jnp.bfloat16 if bf16 else jnp.float32
 
-            @jax.jit
+            @tuned_jit
             def program(imgs):
                 out = module.apply(variables, imgs.astype(in_dtype), train=False)
                 return batched_pose_nms(
-                    out.pred_bboxes.astype(jnp.float32),
-                    out.pred_scores.astype(jnp.float32),
-                    out.pred_pose_coords.astype(jnp.float32),
-                    out.pred_pose_scores.astype(jnp.float32),
+                    out.pred_bboxes,
+                    out.pred_scores,
+                    out.pred_pose_coords,
+                    out.pred_pose_scores,
                     score_threshold=conf, iou_threshold=iou,
                     nms_top_k=nms_top_k, max_predictions=max_predictions, mode=nms_mode,
                 )

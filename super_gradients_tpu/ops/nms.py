@@ -92,8 +92,32 @@ def _single_image_nms(
     prefilter: str = "two_stage",
     class_top_k: int = 4,
     iou_dtype=None,
+    scores_are_logits: bool = False,
 ) -> NMSOutput:
     n, c = scores.shape
+    # The prefilter runs in the INPUT dtype and candidates are cast to fp32
+    # only after the gather: when the model computes scores in bf16, casting
+    # the full [N, C] map up-front materializes a 2x-larger tensor for zero
+    # information (bf16->fp32 is lossless and monotone, so every comparison,
+    # max and top_k picks the identical elements).
+    #
+    # ``scores_are_logits``: for heads whose scores are exactly
+    # ``sigmoid(logits.astype(f32))`` (YOLO-NAS / PP-YOLOE), the caller may pass
+    # the raw (bf16) logit map instead. Sigmoid is strictly monotone and
+    # bf16->fp32 is exact, so max / top_k / argmax pick the IDENTICAL elements
+    # on logits, and applying ``sigmoid`` to the K gathered fp32 candidates
+    # reproduces the fp32 score values BIT-EXACTLY (asserted in
+    # tests/test_ops_nms.py::test_logit_scores_bit_identical) — while the
+    # [N, C] fp32 sigmoid map is never materialized (XLA dead-code-eliminates
+    # it from the fused predict program: ~2 ms @ b128 yolo_nas_m 640px on v5e).
+    # One caveat: where fp32 sigmoid SATURATES (|logit| > ~16.6 rounds to
+    # exactly 1.0 or 0.0) distinct logits collapse to tied scores; the logit
+    # path orders those candidates by their true logit while the score path
+    # tie-breaks by index. Output scores are identical either way — only the
+    # ordering (and, at the top_k boundary, membership) WITHIN an exact score
+    # tie can differ, so live/exported programs must both use the same path
+    # (sg_model._predict_program and conversion/export.py both pass logits).
+    _to_score = jax.nn.sigmoid if scores_are_logits else (lambda v: v)
     if multi_label:
         if prefilter == "two_stage" and n > nms_top_k:
             # A flat top-k over N*C is a huge sort (~42 ms for 672k elements on
@@ -113,7 +137,7 @@ def _single_image_nms(
             k = min(nms_top_k, n)
             anchor_best = jnp.max(scores, axis=-1)
             _, aidx = jax.lax.top_k(anchor_best, k)
-            sub = scores[aidx]  # [k, C]
+            sub = _to_score(scores[aidx].astype(jnp.float32))  # [k, C] — fp32 scores from here on
             t = min(class_top_k, c)
             vals, cls_of_t = jax.lax.top_k(sub, t)  # [k, T]
             top_scores, sidx = jax.lax.top_k(vals.reshape(-1), k)
@@ -123,6 +147,7 @@ def _single_image_nms(
             flat = scores.reshape(-1)  # [N*C]
             k = min(nms_top_k, flat.shape[0])
             top_scores, top_idx = jax.lax.top_k(flat, k)
+            top_scores = _to_score(top_scores.astype(jnp.float32))
             anchor_idx = top_idx // c
             cls_idx = top_idx % c
     else:
@@ -130,9 +155,10 @@ def _single_image_nms(
         best = jnp.max(scores, axis=-1)
         k = min(nms_top_k, n)
         top_scores, anchor_idx = jax.lax.top_k(best, k)
+        top_scores = _to_score(top_scores.astype(jnp.float32))
         cls_idx = cls_idx_all[anchor_idx]
 
-    cand_boxes = boxes[anchor_idx]  # [K, 4]
+    cand_boxes = boxes[anchor_idx].astype(jnp.float32)  # [K, 4]
     valid = top_scores > score_threshold
 
     if class_agnostic:
@@ -215,6 +241,7 @@ def batched_nms(
     prefilter: str = "two_stage",
     class_top_k: int = 4,
     iou_dtype=None,
+    scores_are_logits: bool = False,
 ) -> NMSOutput:
     """Batched class-aware NMS with fixed output shapes.
 
@@ -223,11 +250,13 @@ def batched_nms(
     per-image Python loop replaced by ``vmap`` and static shapes throughout.
     ``prefilter``: "two_stage" (fast candidate selection via per-anchor
     ``class_top_k``, default) or "flat" (single top-k over N*C, reference-exact
-    candidate set).
+    candidate set). ``scores_are_logits``: ``scores`` holds pre-sigmoid logits;
+    bit-identical outputs with ``score_threshold`` still in probability space
+    (see :func:`_single_image_nms`).
     """
     fn = lambda b, s: _single_image_nms(
         b, s, score_threshold, iou_threshold, nms_top_k, max_predictions, multi_label, class_agnostic, mode,
-        prefilter, class_top_k, iou_dtype,
+        prefilter, class_top_k, iou_dtype, scores_are_logits,
     )
     return jax.vmap(fn)(boxes, scores)
 
@@ -246,8 +275,9 @@ def _single_image_pose_nms(boxes, scores, poses, score_threshold, iou_threshold,
     """boxes [A,4], scores [A], poses [A,K,3]."""
     k = min(nms_top_k, scores.shape[0])
     top_scores, aidx = jax.lax.top_k(scores, k)
-    cand_boxes = boxes[aidx]
-    cand_poses = poses[aidx]
+    top_scores = top_scores.astype(jnp.float32)
+    cand_boxes = boxes[aidx].astype(jnp.float32)
+    cand_poses = poses[aidx].astype(jnp.float32)
     valid = top_scores > score_threshold
 
     iou = box_iou(cand_boxes, cand_boxes)

@@ -149,3 +149,55 @@ def test_nms_output_is_score_sorted_and_compact():
     assert (np.diff(s[:n]) <= 1e-6).all()
     assert (s[n:] == 0).all()
     assert (np.asarray(out.labels[0])[n:] == -1).all()
+
+
+def _sparse_detection_fixture(seed, n=2000, c=20, n_hot=120):
+    """Score map where exactly `n_hot` (anchor, class) entries exceed 0.25 —
+    the realistic regime of a trained detector at predict() confidence."""
+    rng = np.random.RandomState(seed)
+    centers = rng.rand(n, 2) * 600
+    wh = rng.rand(n, 2) * 80 + 4
+    boxes = np.concatenate([centers - wh / 2, centers + wh / 2], axis=1).astype(np.float32)
+    scores = (rng.rand(n, c) * 0.2).astype(np.float32)  # all below threshold
+    flat = rng.choice(n * c, size=n_hot, replace=False)
+    scores[flat // c, flat % c] = (0.3 + 0.69 * rng.rand(n_hot)).astype(np.float32)
+    return boxes, scores
+
+
+@pytest.mark.parametrize("mode", ["exact", "fast"])
+def test_topk_reduction_exact(mode):
+    """With score_threshold=0.25, any candidate below the threshold is inert
+    (cannot suppress, cannot be output), so nms_top_k=K_small is EXACTLY equal
+    to a larger K whenever the above-threshold candidates fit in K_small. This
+    is the proof backing the headline bench's nms_top_k=256 (bench.py)."""
+    boxes, scores = _sparse_detection_fixture(7)
+    kw = dict(score_threshold=0.25, iou_threshold=0.6, max_predictions=300, mode=mode)
+    big = batched_nms(jnp.asarray(boxes)[None], jnp.asarray(scores)[None], nms_top_k=1024, **kw)
+    small = batched_nms(jnp.asarray(boxes)[None], jnp.asarray(scores)[None], nms_top_k=256, **kw)
+    assert int(big.num_detections[0]) == int(small.num_detections[0]) > 0
+    np.testing.assert_array_equal(np.asarray(big.boxes), np.asarray(small.boxes))
+    np.testing.assert_array_equal(np.asarray(big.scores), np.asarray(small.scores))
+    np.testing.assert_array_equal(np.asarray(big.labels), np.asarray(small.labels))
+
+
+@pytest.mark.parametrize("prefilter", ["two_stage", "flat"])
+@pytest.mark.parametrize("multi_label", [True, False])
+def test_logit_scores_bit_identical(prefilter, multi_label):
+    """scores_are_logits=True on the raw (bf16) logit map must be BIT-identical
+    to running on sigmoid(logits.astype(f32)): sigmoid is strictly monotone and
+    bf16->f32 is exact, so every max/top_k/argmax picks the same elements and
+    the gathered candidates sigmoid to the same fp32 values (ops/nms.py)."""
+    rng = np.random.RandomState(3)
+    n, c = 1500, 16
+    centers = rng.rand(n, 2) * 600
+    wh = rng.rand(n, 2) * 60 + 4
+    boxes = np.concatenate([centers - wh / 2, centers + wh / 2], axis=1).astype(np.float32)
+    logits_bf16 = jnp.asarray(rng.randn(n, c).astype(np.float32) * 3 - 2).astype(jnp.bfloat16)
+    scores_f32 = jax.nn.sigmoid(logits_bf16.astype(jnp.float32))
+    kw = dict(score_threshold=0.25, iou_threshold=0.6, nms_top_k=256, max_predictions=100,
+              mode="exact", prefilter=prefilter, multi_label=multi_label)
+    via_scores = batched_nms(jnp.asarray(boxes)[None], scores_f32[None], **kw)
+    via_logits = batched_nms(jnp.asarray(boxes)[None], logits_bf16[None], scores_are_logits=True, **kw)
+    assert int(via_scores.num_detections[0]) > 0
+    for a, b in zip(via_scores, via_logits):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
