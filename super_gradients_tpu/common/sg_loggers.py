@@ -240,6 +240,102 @@ class ClearMLSGLogger(BaseSGLogger):
         super().close()
 
 
+@register_sg_logger("dagshub_sg_logger")
+class DagsHubSGLogger(BaseSGLogger):
+    """DagsHub sink (ref common/sg_loggers/dagshub_sg_logger.py:34). The reference
+    logs through MLflow against a ``dagshub.com/<owner>/<repo>.mlflow`` tracking
+    remote; this sink does the same when ``mlflow`` (+ optionally ``dagshub``) is
+    importable and falls back to the local JSONL/TB sinks otherwise."""
+
+    def __init__(self, dagshub_repository: str = None, log_mlflow_only: bool = False, **kwargs):
+        super().__init__(**kwargs)
+        self._mlflow = None
+        self.log_mlflow_only = log_mlflow_only
+        if not _is_primary():
+            return
+        try:
+            import mlflow
+
+            if dagshub_repository:
+                owner, repo = self._split_repo(dagshub_repository)
+                try:  # dagshub.init wires credentials + tracking URI when available
+                    import dagshub
+
+                    dagshub.init(repo_name=repo, repo_owner=owner)
+                except Exception:
+                    mlflow.set_tracking_uri(f"https://dagshub.com/{owner}/{repo}.mlflow")
+            mlflow.start_run(run_name=kwargs.get("experiment_name"))
+            self._mlflow = mlflow
+        except Exception as e:
+            logger.warning(f"dagshub/mlflow unavailable ({type(e).__name__}: {e}); using local JSONL/TB sinks only")
+            self._mlflow = None
+
+    @staticmethod
+    def _split_repo(repo: str):
+        parts = repo.split("/")
+        if len(parts) != 2:
+            raise ValueError(f"Invalid input, should be owner_name/repo_name, but got {repo} instead")
+        return parts[0], parts[1]
+
+    def add_scalar(self, tag, value, global_step: int = 0):
+        super().add_scalar(tag, value, global_step)
+        if self._mlflow is not None:
+            try:
+                # mlflow metric keys forbid '/'; the reference sanitizes the same way
+                self._mlflow.log_metric(tag.replace("/", "_"), float(value), step=int(global_step))
+            except Exception as e:
+                logger.debug(f"mlflow scalar log failed: {e}")
+
+    def add_config(self, tag, config):
+        super().add_config(tag, config)
+        if self._mlflow is not None:
+            try:
+                flat = config if not isinstance(config, dict) else {f"{tag}.{k}": v for k, v in config.items()}
+                self._mlflow.log_params({k: str(v)[:250] for k, v in (flat if isinstance(flat, dict) else {tag: flat}).items()})
+            except Exception as e:
+                logger.debug(f"mlflow config log failed: {e}")
+
+    def close(self):
+        if self._mlflow is not None:
+            try:
+                self._mlflow.end_run()
+            except Exception:
+                pass
+        super().close()
+
+
+@register_sg_logger("deci_platform_sg_logger")
+class DeciPlatformSGLogger(BaseSGLogger):
+    """Deci platform sink (ref common/sg_loggers/deci_platform_sg_logger.py).
+    The platform service no longer exists; when the ``deci_platform_client``
+    package is absent (always, in zero-egress environments) this degrades to the
+    local JSONL/TB sinks so recipes referencing it keep training."""
+
+    def __init__(self, model_name: str = None, upload_model: bool = True, **kwargs):
+        super().__init__(**kwargs)
+        self._client = None
+        self.model_name = model_name
+        self.upload_model = upload_model
+        if not _is_primary():
+            return
+        try:
+            from deci_platform_client import DeciPlatformClient  # noqa: F401 — never present offline
+
+            self._client = DeciPlatformClient()
+            self._client.register_experiment(name=kwargs.get("experiment_name", "experiment"))
+        except Exception as e:
+            logger.warning(f"deci platform unavailable ({type(e).__name__}: {e}); using local JSONL/TB sinks only")
+            self._client = None
+
+    def close(self):
+        if self._client is not None:
+            try:
+                self._client.save_experiment_file(file_path=getattr(self, "_jsonl_path", ""))
+            except Exception:
+                pass
+        super().close()
+
+
 def get_sg_logger(name: str, **params) -> AbstractSGLogger:
     from super_gradients_tpu.common.registry import SG_LOGGERS
 
