@@ -68,7 +68,11 @@ class ModelSpec:
 
 def get_architecture(model_name: str) -> Callable:
     if model_name not in ARCHITECTURES:
-        close = [k for k in ARCHITECTURES if model_name.lower() in k.lower()]
+        import difflib
+
+        low = model_name.lower()
+        close = [k for k in ARCHITECTURES if low in k.lower() or k.lower() in low]
+        close += [k for k in difflib.get_close_matches(low, ARCHITECTURES, n=5, cutoff=0.75) if k not in close]
         hint = f" Close matches: {close[:5]}" if close else ""
         raise KeyError(f"Unknown architecture `{model_name}`.{hint} ({len(ARCHITECTURES)} registered)")
     return ARCHITECTURES[model_name]
