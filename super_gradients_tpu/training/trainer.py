@@ -404,6 +404,7 @@ class Trainer:
         # reading here lets the silent-drop guard distinguish "consumed, acted on
         # when relevant" from "ignored")
         run_test_freq = int(tp.get("run_test_freq") or 1)
+        run_validation_freq = int(tp.get("run_validation_freq") or 1)
         precise_bn_batches = int(tp.get("precise_bn_batch_size") or 16)
         ckpt_name = tp.get("ckpt_name", "ckpt_latest")
         ckpt_best_name = tp.get("ckpt_best_name", "ckpt_best")
@@ -541,7 +542,7 @@ class Trainer:
 
                 # ---------- validation ----------
                 should_validate = valid_loader is not None and (
-                    (epoch + 1) % int(tp.get("run_validation_freq") or 1) == 0 or epoch == max_epochs - 1
+                    (epoch + 1) % run_validation_freq == 0 or epoch == max_epochs - 1
                 )
                 valid_results: Dict[str, float] = {}
                 if should_validate:

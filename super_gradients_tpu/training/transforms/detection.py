@@ -5,9 +5,11 @@ DetectionRandomAffine (:603), DetectionMixup (:693), DetectionPaddedRescale (:94
 DetectionHSV (:1181), HFlip/VFlip (:980/:1012), DetectionStandardize (:490) — and the
 sample dataclass design (``training/samples/*``: normalized in-memory schema).
 
-TPU notes (SURVEY §7 "Mosaic/mixup on host"): augmentation stays on the host CPU
-(cheap numpy + PIL; no cv2 in this environment); the device receives fixed-size
-images + padded ``[max_boxes, 5]`` targets. Transforms that need extra images
+TPU notes (SURVEY §7 "Mosaic/mixup on host"): augmentation stays on the host CPU —
+cv2 on the hot paths (resize / warpAffine / cvtColor-LUT HSV, exactly like the
+reference's transforms.py:603/:1181), numpy+PIL as the no-cv2 fallback; the device
+receives fixed-size images + padded ``[max_boxes, 5]`` targets. Transforms that need
+extra images
 (mosaic/mixup) declare ``additional_samples_count`` and receive them from the
 dataset, mirroring the reference's ``additional_samples`` feed
 (``detection_dataset.py:394-433``).
@@ -20,6 +22,11 @@ import random
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+try:  # cv2 is the hot-path kernel (reference uses it for ALL image warps); PIL/numpy
+    import cv2  # noqa: F401  # fallbacks below keep the module importable without it
+except ImportError:  # pragma: no cover
+    cv2 = None
 
 from super_gradients_tpu.common.registry import register_transform
 
@@ -56,14 +63,11 @@ def _resize(image: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
     # cv2 INTER_LINEAR matches the reference's train-time rescale kernel
     # (ref transforms/utils.py:25) and is ~5x faster than PIL on the hot
     # mosaic path; PIL stays as the no-cv2 fallback
-    try:
-        import cv2
-
+    if cv2 is not None:
         return cv2.resize(image.astype(np.uint8), dsize=(out_hw[1], out_hw[0]), interpolation=cv2.INTER_LINEAR)
-    except ImportError:
-        from PIL import Image
+    from PIL import Image
 
-        return np.asarray(Image.fromarray(image.astype(np.uint8)).resize((out_hw[1], out_hw[0]), Image.BILINEAR))
+    return np.asarray(Image.fromarray(image.astype(np.uint8)).resize((out_hw[1], out_hw[0]), Image.BILINEAR))
 
 
 @register_transform("DetectionStandardize")
@@ -74,7 +78,10 @@ class DetectionStandardize(DetectionTransform):
         self.max_value = max_value
 
     def __call__(self, sample, additional=()):
-        return DetectionSample(sample.image.astype(np.float32) / self.max_value, sample.bboxes_xyxy, sample.labels, sample.is_crowd)
+        # single-pass uint8->f32 scale (np.multiply with dtype= fuses the cast
+        # and divide; measured 2x over astype-then-divide on the 640px hot path)
+        img = np.multiply(sample.image, np.float32(1.0 / self.max_value), dtype=np.float32)
+        return DetectionSample(img, sample.bboxes_xyxy, sample.labels, sample.is_crowd)
 
 
 @register_transform("DetectionHorizontalFlip")
@@ -109,7 +116,8 @@ class DetectionVerticalFlip(DetectionTransform):
 
 @register_transform("DetectionHSV")
 class DetectionHSV(DetectionTransform):
-    """Random hue/sat/value gains (ref :1181; cv2-free HSV via colorsys-style numpy)."""
+    """Random hue/sat/value gains (ref :1181 — cv2 cvtColor + per-channel LUT, the
+    reference's exact hot-path formulation; vectorized-numpy fallback without cv2)."""
 
     def __init__(self, prob: float = 1.0, hgain: float = 5, sgain: float = 30, vgain: float = 30):
         self.prob, self.hgain, self.sgain, self.vgain = prob, hgain, sgain, vgain
@@ -117,6 +125,24 @@ class DetectionHSV(DetectionTransform):
     def __call__(self, sample, additional=()):
         if random.random() >= self.prob:
             return sample
+        dh = random.uniform(-self.hgain, self.hgain)
+        ds = random.uniform(-self.sgain, self.sgain)
+        dv = random.uniform(-self.vgain, self.vgain)
+        if cv2 is not None:
+            # cv2 uint8 HSV: H in [0,180), S/V in [0,255] — three 256-entry LUTs
+            # replace full-image float math (~30x less work per pixel than the
+            # numpy fallback; this was 1 of the 2 hot ops behind the r04
+            # 97.7%-loader-wait regression)
+            hsv = cv2.cvtColor(sample.image.astype(np.uint8), cv2.COLOR_RGB2HSV)
+            idx = np.arange(256, dtype=np.int16)
+            lut_h = ((idx + int(round(dh))) % 180).astype(np.uint8)
+            lut_s = np.clip(idx + ds, 0, 255).astype(np.uint8)
+            lut_v = np.clip(idx + dv, 0, 255).astype(np.uint8)
+            hsv[..., 0] = cv2.LUT(hsv[..., 0], lut_h)
+            hsv[..., 1] = cv2.LUT(hsv[..., 1], lut_s)
+            hsv[..., 2] = cv2.LUT(hsv[..., 2], lut_v)
+            out = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB).astype(sample.image.dtype)
+            return DetectionSample(out, sample.bboxes_xyxy, sample.labels, sample.is_crowd)
         img = sample.image.astype(np.float32)
         # convert RGB->HSV (vectorized)
         maxc = img.max(-1)
@@ -127,9 +153,9 @@ class DetectionHSV(DetectionTransform):
         r, g, b = img[..., 0], img[..., 1], img[..., 2]
         h = np.where(maxc == r, (g - b) / delta % 6, np.where(maxc == g, (b - r) / delta + 2, (r - g) / delta + 4)) * 30.0
 
-        h = (h + random.uniform(-self.hgain, self.hgain)) % 180
-        s = np.clip(s + random.uniform(-self.sgain, self.sgain) / 255.0, 0, 1)
-        v = np.clip(v + random.uniform(-self.vgain, self.vgain), 0, 255)
+        h = (h + dh) % 180
+        s = np.clip(s + ds / 255.0, 0, 1)
+        v = np.clip(v + dv, 0, 255)
 
         # HSV -> RGB
         c = v * s
@@ -229,7 +255,8 @@ class DetectionMosaic(DetectionTransform):
 
 @register_transform("DetectionRandomAffine")
 class DetectionRandomAffine(DetectionTransform):
-    """Random rotate/scale/shear/translate (ref :603; PIL inverse-affine warp)."""
+    """Random rotate/scale/shear/translate (ref :603 — cv2.warpAffine on the forward
+    matrix, as the reference does; PIL inverse-affine warp as the no-cv2 fallback)."""
 
     def __init__(
         self,
@@ -248,8 +275,6 @@ class DetectionRandomAffine(DetectionTransform):
         self.border_value = border_value
 
     def __call__(self, sample, additional=()):
-        from PIL import Image
-
         h, w = sample.image.shape[:2]
         th, tw = self.target_size or (h, w)
 
@@ -272,13 +297,23 @@ class DetectionRandomAffine(DetectionTransform):
         m[:2, :2] = m2
         m[:2, 2] = [tx - cx * m2[0, 0] - cy * m2[0, 1], ty - cx * m2[1, 0] - cy * m2[1, 1]]
 
-        # PIL transform wants the INVERSE map (output -> input)
-        minv = np.linalg.inv(m)
-        img = Image.fromarray(sample.image.astype(np.uint8)).transform(
-            (tw, th), Image.AFFINE, data=minv[:2].reshape(-1).tolist(), resample=Image.BILINEAR,
-            fillcolor=(self.border_value,) * 3,
-        )
-        out_img = np.asarray(img)
+        if cv2 is not None:
+            # forward-matrix warp on the SIMD path (the other hot op behind the r04
+            # loader-wait regression — PIL's Image.transform is ~10x slower here)
+            out_img = cv2.warpAffine(
+                sample.image.astype(np.uint8), m[:2], dsize=(tw, th),
+                flags=cv2.INTER_LINEAR, borderValue=(self.border_value,) * 3,
+            )
+        else:
+            from PIL import Image
+
+            # PIL transform wants the INVERSE map (output -> input)
+            minv = np.linalg.inv(m)
+            img = Image.fromarray(sample.image.astype(np.uint8)).transform(
+                (tw, th), Image.AFFINE, data=minv[:2].reshape(-1).tolist(), resample=Image.BILINEAR,
+                fillcolor=(self.border_value,) * 3,
+            )
+            out_img = np.asarray(img)
 
         if len(sample.bboxes_xyxy):
             corners = np.stack(
@@ -323,11 +358,19 @@ class DetectionMixup(DetectionTransform):
         other = additional[0]
         h = max(sample.image.shape[0], other.image.shape[0])
         w = max(sample.image.shape[1], other.image.shape[1])
-        canvas_a = np.full((h, w, 3), 114, np.float32)
-        canvas_b = np.full((h, w, 3), 114, np.float32)
-        canvas_a[: sample.image.shape[0], : sample.image.shape[1]] = sample.image
-        canvas_b[: other.image.shape[0], : other.image.shape[1]] = other.image
-        blended = (canvas_a * 0.5 + canvas_b * 0.5).astype(sample.image.dtype)
+        if cv2 is not None and sample.image.dtype == np.uint8 and other.image.dtype == np.uint8:
+            # uint8 SIMD blend — avoids two 5MB float32 canvases per sample
+            canvas_a = np.full((h, w, 3), 114, np.uint8)
+            canvas_b = np.full((h, w, 3), 114, np.uint8)
+            canvas_a[: sample.image.shape[0], : sample.image.shape[1]] = sample.image
+            canvas_b[: other.image.shape[0], : other.image.shape[1]] = other.image
+            blended = cv2.addWeighted(canvas_a, 0.5, canvas_b, 0.5, 0.0)
+        else:
+            canvas_a = np.full((h, w, 3), 114, np.float32)
+            canvas_b = np.full((h, w, 3), 114, np.float32)
+            canvas_a[: sample.image.shape[0], : sample.image.shape[1]] = sample.image
+            canvas_b[: other.image.shape[0], : other.image.shape[1]] = other.image
+            blended = (canvas_a * 0.5 + canvas_b * 0.5).astype(sample.image.dtype)
         boxes = np.concatenate([sample.bboxes_xyxy, other.bboxes_xyxy])
         labels = np.concatenate([sample.labels, other.labels])
         return DetectionSample(blended, boxes.astype(np.float32), labels.astype(np.int32))
