@@ -136,7 +136,48 @@ def load_recipe(config_name: str, config_dir: Optional[str] = None, overrides: O
 
     if overrides:
         merged = add_params_to_cfg(merged, overrides)
-    return resolve_interpolations(merged)
+    return apply_recipe_shortcuts(resolve_interpolations(merged))
+
+
+# Shortcut aliases → nested target paths. Reference: ``recipes/variable_setup.yaml``
+# + ``RecipeShortcutsCallback`` (common/environment/omegaconf_utils.py:12-57): a flat
+# CLI key like ``lr=0.003`` fans out to ``training_hyperparams.initial_lr``;
+# ``num_workers`` fans out to BOTH dataloader_params. When a shortcut is unset, it is
+# back-populated from the nested value (clarity in persisted recipes/logs), matching
+# the reference's `_override_with_shortcut` both-ways sync.
+RECIPE_SHORTCUTS: Dict[str, List[str]] = {
+    "lr": ["training_hyperparams.initial_lr"],
+    "batch_size": ["dataset_params.train_dataloader_params.batch_size"],
+    "val_batch_size": ["dataset_params.val_dataloader_params.batch_size"],
+    "ema": ["training_hyperparams.ema"],
+    "epochs": ["training_hyperparams.max_epochs"],
+    "resume": ["training_hyperparams.resume"],
+    "num_workers": [
+        "dataset_params.train_dataloader_params.num_workers",
+        "dataset_params.val_dataloader_params.num_workers",
+    ],
+}
+
+
+def apply_recipe_shortcuts(cfg: Dict) -> Dict:
+    """Expand flat shortcut keys (``lr=``, ``batch_size=``, ``epochs=``, ...) into their
+    nested recipe paths; back-fill unset shortcuts from the nested values."""
+    for key, targets in RECIPE_SHORTCUTS.items():
+        short_val = cfg.get(key)
+        for dotted in targets:
+            parts = dotted.split(".")
+            node = cfg
+            for part in parts[:-1]:
+                nxt = node.get(part)
+                if not isinstance(nxt, dict):
+                    nxt = {}
+                    node[part] = nxt
+                node = nxt
+            if short_val is not None:
+                node[parts[-1]] = copy.deepcopy(short_val)
+            elif key in cfg and node.get(parts[-1]) is not None:
+                cfg[key] = node[parts[-1]]  # back-populate declared-but-unset shortcut
+    return cfg
 
 
 def load_arch_params(config_name: str, recipes_dir_path: Optional[str] = None,

@@ -430,7 +430,12 @@ def get(name: Optional[str] = None, dataset=None, dataset_params: Optional[Dict]
     if name is not None:
         if name not in DATALOADERS:
             raise KeyError(f"Unknown dataloader `{name}`; registered: {sorted(DATALOADERS)}")
-        loader = DATALOADERS[name](**dataset_params, **dataloader_params)
+        # a key present in both groups (e.g. batch_size from the `batch_size=`
+        # recipe shortcut landing in dataloader_params while the recipe's
+        # dataset_params also carries one) resolves to dataloader_params — the
+        # group that owns batching in the reference's split (dataloaders.py:56-227)
+        merged = {**dataset_params, **dataloader_params}
+        loader = DATALOADERS[name](**merged)
         # worker/prefetch knobs apply to every named loader (ref honors
         # dataloader_params.num_workers on all of them, dataloaders.py:56-227)
         for k in ("num_workers", "prefetch_factor"):

@@ -36,6 +36,7 @@ _HOLLOW = (
     "super_gradients.training",
     "super_gradients.training.models",
     "super_gradients.training.datasets",
+    "super_gradients.training.datasets.detection_datasets",
     "super_gradients.training.utils",
     "super_gradients.training.transforms",
     "super_gradients.training.losses",
