@@ -41,6 +41,28 @@ def check_points_inside_bboxes(points: jnp.ndarray, bboxes: jnp.ndarray, eps: fl
     return (jnp.min(deltas, axis=-1) > eps).astype(bboxes.dtype)
 
 
+def _topk_mask_by_iterative_argmax(vals: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """0/1 mask of each row's k largest entries + the row max, via k argmax-extract
+    passes instead of ``lax.top_k``.
+
+    Selection is identical to ``top_k`` + one-hot-sum (ties resolve to the lowest
+    index in both: XLA's top_k sort is stable, and ``argmax`` returns the first
+    max), but costs k cheap vector passes over [B, n, L] instead of a bitonic
+    sort of L — the sort dominated the train-step loss block on v5e
+    (the TAL assigner calls this on [B, max_boxes, 8400]).
+    """
+    work = vals
+    mask = jnp.zeros_like(vals)
+    row_max = jnp.max(vals, axis=-1, keepdims=True)
+    neg_inf = jnp.asarray(-jnp.inf, vals.dtype)
+    for _ in range(k):
+        idx = jnp.argmax(work, axis=-1)  # first max index per row
+        sel = jax.nn.one_hot(idx, vals.shape[-1], dtype=vals.dtype)
+        mask = mask + sel
+        work = jnp.where(sel > 0, neg_inf, work)
+    return mask, row_max
+
+
 def gather_topk_anchors(
     metrics: jnp.ndarray, topk: int, topk_mask: Optional[jnp.ndarray] = None, largest: bool = True, eps: float = 1e-9
 ) -> jnp.ndarray:
@@ -48,12 +70,10 @@ def gather_topk_anchors(
     num_anchors = metrics.shape[-1]
     k = min(topk, num_anchors)
     vals = metrics if largest else -metrics
-    topk_metrics, topk_idxs = jax.lax.top_k(vals, k)
-    if not largest:
-        topk_metrics = -topk_metrics
+    is_in_topk, row_max = _topk_mask_by_iterative_argmax(vals, k)
     if topk_mask is None:
-        topk_mask = (jnp.max(topk_metrics, axis=-1, keepdims=True) > eps).astype(metrics.dtype)
-    is_in_topk = jnp.sum(jax.nn.one_hot(topk_idxs, num_anchors, dtype=metrics.dtype), axis=-2)
+        best = row_max if largest else -row_max
+        topk_mask = (best > eps).astype(metrics.dtype)
     return is_in_topk * topk_mask
 
 
