@@ -161,22 +161,39 @@ RECIPE_SHORTCUTS: Dict[str, List[str]] = {
 
 def apply_recipe_shortcuts(cfg: Dict) -> Dict:
     """Expand flat shortcut keys (``lr=``, ``batch_size=``, ``epochs=``, ...) into their
-    nested recipe paths; back-fill unset shortcuts from the nested values."""
+    nested recipe paths; back-fill unset shortcuts from the nested values.
+
+    Only applies to ROOT recipes (the composed tree holding the
+    ``training_hyperparams`` group / an ``architecture``). Group YAMLs such as
+    ``training_hyperparams/default_train_params.yaml`` carry flat keys like
+    ``ema``/``resume`` that are REAL parameters, not shortcut aliases —
+    expanding them there fabricated phantom ``training_hyperparams``/
+    ``dataset_params`` subtrees inside training params, which the silent-drop
+    guard then (correctly) reported as unconsumed.
+    """
+    if not (isinstance(cfg.get("training_hyperparams"), dict) or "architecture" in cfg):
+        return cfg
     for key, targets in RECIPE_SHORTCUTS.items():
         short_val = cfg.get(key)
         for dotted in targets:
             parts = dotted.split(".")
-            node = cfg
-            for part in parts[:-1]:
-                nxt = node.get(part)
-                if not isinstance(nxt, dict):
-                    nxt = {}
-                    node[part] = nxt
-                node = nxt
             if short_val is not None:
+                node = cfg
+                for part in parts[:-1]:
+                    nxt = node.get(part)
+                    if not isinstance(nxt, dict):
+                        nxt = {}
+                        node[part] = nxt
+                    node = nxt
                 node[parts[-1]] = copy.deepcopy(short_val)
-            elif key in cfg and node.get(parts[-1]) is not None:
-                cfg[key] = node[parts[-1]]  # back-populate declared-but-unset shortcut
+            elif key in cfg:
+                node = cfg
+                for part in parts[:-1]:
+                    node = node.get(part) if isinstance(node, dict) else None
+                    if node is None:
+                        break
+                if isinstance(node, dict) and node.get(parts[-1]) is not None:
+                    cfg[key] = node[parts[-1]]  # back-populate declared-but-unset shortcut
     return cfg
 
 

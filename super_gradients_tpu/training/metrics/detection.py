@@ -60,34 +60,41 @@ def match_predictions_to_gt(
     """
     p, g = len(pred_boxes), len(gt_boxes)
     t = len(iou_thresholds)
+    thr = np.asarray(iou_thresholds)
     tp = np.zeros((p, t), dtype=bool)
     keep = np.ones((p, t), dtype=bool)
     if p == 0:
         return tp, keep
-    iou = None
     if g > 0:
         iou = _np_iou(pred_boxes, gt_boxes)
         same_cls = pred_labels[:, None] == gt_labels[None, :]
         iou = np.where(same_cls, iou, 0.0)
-    crowd_ioa = None
+        # Matching priority is CONFIDENCE first, then IoU (ref IoUMatching
+        # compute_targets, detection_utils.py:932-958): predictions arrive
+        # confidence-sorted; each one claims its best still-free target per
+        # threshold. (A global best-IoU-pair-first greedy gives DIFFERENT
+        # matchings — a lower-confidence pred could steal a gt.) Thresholds
+        # use the reference's STRICT ``iou > t``.
+        gt_used = np.zeros((g, t), dtype=bool)
+        min_thr = thr[0]
+        for pi in range(p):
+            row = iou[pi]
+            for gi in np.argsort(-row, kind="stable"):
+                v = row[gi]
+                if v <= min_thr:
+                    break
+                good = (v > thr) & ~tp[pi] & ~gt_used[gi]
+                tp[pi, good] = True
+                gt_used[gi, good] = True
+            if gt_used.all():
+                break
     if crowd_boxes is not None and len(crowd_boxes) > 0:
         crowd_ioa = _np_ioa(pred_boxes, crowd_boxes)
         crowd_same = pred_labels[:, None] == crowd_labels[None, :]
-        crowd_ioa = np.where(crowd_same, crowd_ioa, 0.0).max(axis=1)  # [P]
-    for ti, thr in enumerate(iou_thresholds):
-        if iou is not None:
-            cand_p, cand_g = np.nonzero(iou >= thr)
-            if len(cand_p):
-                order = np.argsort(-iou[cand_p, cand_g])
-                used_p = np.zeros(p, bool)
-                used_g = np.zeros(g, bool)
-                for k in order:
-                    pi, gi = cand_p[k], cand_g[k]
-                    if not used_p[pi] and not used_g[gi]:
-                        used_p[pi] = used_g[gi] = True
-                        tp[pi, ti] = True
-        if crowd_ioa is not None:
-            keep[:, ti] = tp[:, ti] | (crowd_ioa <= thr)
+        best_ioa = np.where(crowd_same, crowd_ioa, 0.0).max(axis=1)  # [P]
+        # ignore unmatched preds with IoA strictly above the threshold
+        # (ref compute_crowd_targets, detection_utils.py:1001)
+        keep = tp | ~(best_ioa[:, None] > thr[None, :])
     return tp, keep
 
 
@@ -103,6 +110,7 @@ def match_predictions_to_gt_distance(
     with center distance <= t, greedily assigned smallest-distance-first."""
     p, g = len(pred_boxes), len(gt_boxes)
     t = len(distance_thresholds)
+    thr = np.asarray(distance_thresholds)
     tp = np.zeros((p, t), dtype=bool)
     keep = np.ones((p, t), dtype=bool)
     if p == 0 or g == 0:
@@ -112,18 +120,22 @@ def match_predictions_to_gt_distance(
     dist = np.linalg.norm(pc[:, None] - gc[None, :], axis=-1)
     same_cls = pred_labels[:, None] == gt_labels[None, :]
     dist = np.where(same_cls, dist, np.inf)
-    for ti, thr in enumerate(distance_thresholds):
-        cand_p, cand_g = np.nonzero(dist <= thr)
-        if len(cand_p) == 0:
-            continue
-        order = np.argsort(dist[cand_p, cand_g])
-        used_p = np.zeros(p, bool)
-        used_g = np.zeros(g, bool)
-        for k in order:
-            pi, gi = cand_p[k], cand_g[k]
-            if not used_p[pi] and not used_g[gi]:
-                used_p[pi] = used_g[gi] = True
-                tp[pi, ti] = True
+    # confidence-first greedy, targets by ascending distance, STRICT `< t`
+    # (ref DistanceMatching compute_targets, detection_utils.py:1060-1090 —
+    # same structure as IoUMatching: preds arrive confidence-sorted)
+    gt_used = np.zeros((g, t), dtype=bool)
+    max_thr = thr.max()
+    for pi in range(p):
+        row = dist[pi]
+        for gi in np.argsort(row, kind="stable"):
+            v = row[gi]
+            if v >= max_thr:
+                break
+            good = (v < thr) & ~tp[pi] & ~gt_used[gi]
+            tp[pi, good] = True
+            gt_used[gi, good] = True
+        if gt_used.all():
+            break
     return tp, keep
 
 
@@ -347,7 +359,7 @@ class DetectionMetrics(Metric):
             gl = targets[i, reg, 0].astype(np.int64)
             cb = targets[i, is_crowd, 1:5] if has_crowd_col else None
             cl = targets[i, is_crowd, 0].astype(np.int64) if has_crowd_col else None
-            order = np.argsort(-ps)
+            order = np.argsort(-ps, kind="stable")  # stable: equal scores keep NMS emission order (ref sorts in NMS)
             pb, ps, pl = pb[order], ps[order], pl[order]
             tp, keep = self._match(pb, pl, gb, gl, cb, cl)
             state["tp"].append(tp)

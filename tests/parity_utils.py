@@ -22,6 +22,18 @@ def randomize_reference(net: torch.nn.Module, seed: int = 0, n_stats_batches: in
     train-mode forwards to populate them.
     """
     torch.manual_seed(seed)
+    # replay the default init under the seeded RNG: torch CONSTRUCTION happens
+    # before this call with an unseeded global RNG, which made every
+    # randomized-reference fixture nondeterministic across runs (flaky
+    # borderline NMS keeps in the pipeline/tinycoco parity tests)
+    def _reset(m):
+        if callable(getattr(m, "reset_parameters", None)):
+            try:
+                m.reset_parameters()
+            except Exception:
+                pass
+
+    net.apply(_reset)
     for p in net.parameters():
         if not p.is_floating_point() or not p.requires_grad:
             # frozen/integer buffers-as-Parameters (e.g. SSDHead dboxes/img_size)

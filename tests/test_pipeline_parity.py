@@ -37,10 +37,16 @@ IOU, TOP_K, MAX_PRED = 0.7, 1000, 300
 NUM_CLASSES = 12  # small class count keeps random-weight score mass per class meaningful
 
 
-def _spread_cls_scores(ref_net):
+def _spread_cls_scores(ref_net, mult=400.0):
     """Random init leaves every score at sigmoid(prior_bias) ~= 0.01 (the head
     bias dominates); amplify the cls-head weights and re-draw biases so scores
-    spread over (0, 1) and the 0.25 threshold + NMS paths are exercised."""
+    spread over (0, 1) and the 0.25 threshold + NMS paths are exercised.
+
+    ``mult`` must stay below the architecture's sigmoid-saturation point: too
+    high and dozens of candidates tie at EXACTLY 1.0 in fp32, where NMS keep
+    order among exact ties is implementation-defined and the cross-stack
+    detection-set comparison becomes meaningless (ppyoloe's head saturated at
+    the yolo_nas setting once the fixture became deterministic)."""
     import torch
 
     g = torch.Generator().manual_seed(7)
@@ -48,7 +54,7 @@ def _spread_cls_scores(ref_net):
         for name, p in ref_net.named_parameters():
             if "cls_pred" in name or "pred_cls" in name:
                 if name.endswith("weight"):
-                    p.mul_(400.0)
+                    p.mul_(mult)
                 else:
                     p.uniform_(-6.0, -3.0, generator=g)
             # amplify box regression too: flat random-weight outputs produce
@@ -201,7 +207,13 @@ def test_ppyoloe_s_pipeline_parity():
     m = ref_loader.load_ref_module("super_gradients.training.models.detection_models.pp_yolo_e.pp_yolo_e")
     ref = m.PPYoloE_S(_hp(num_classes=NUM_CLASSES))
     mine = model_factory.get("ppyoloe_s", num_classes=NUM_CLASSES)
-    ref = _spread_cls_scores(parity_utils.randomize_reference(ref, seed=1, input_hw=(640, 640)))
+    # mult 60: ppyoloe's cls head saturates to exact-1.0 fp32 ties at 400 (see
+    # _spread_cls_scores) — 60 keeps the top scores ~0.99 and discriminable.
+    # seed 2: now that randomize_reference is deterministic (reset_parameters
+    # under the seed), pick a draw whose borderline candidates don't sit in
+    # knife-edge tie clusters (seeds 1/5 put dozens of near-identical boxes
+    # exactly on the conf/IoU cut, where keep-sets are implementation-defined)
+    ref = _spread_cls_scores(parity_utils.randomize_reference(ref, seed=2, input_hw=(640, 640)), mult=60.0)
     parity_utils.convert_into(ref, mine, PPYOLOE_RULES)
 
     images = _images(seed=1)
