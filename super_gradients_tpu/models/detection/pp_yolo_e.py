@@ -121,11 +121,9 @@ class PPYoloESPP(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        outs = [x]
-        for ks in self.pool_sizes:
-            p = ks // 2
-            outs.append(nn.max_pool(x, (ks, ks), strides=(1, 1), padding=((p, p), (p, p))))
-        y = jnp.concatenate(outs, axis=-1)
+        from super_gradients_tpu.ops.pooling import chained_max_pools
+
+        y = jnp.concatenate((x,) + chained_max_pools(x, self.pool_sizes), axis=-1)  # exact; TPU-fast backward
         return ConvBNAct(out_channels=self.out_channels, kernel=self.kernel, act=self.act, name="conv")(y, train=train)
 
 

@@ -176,13 +176,11 @@ class SPP(nn.Module):
         hidden = x.shape[-1] // 2
         conv = partial(ConvBNAct, kernel=1, stride=1, act=self.act, bn_eps=self.bn_eps, bn_momentum=self.bn_momentum)
         x = conv(out_channels=hidden, name="cv1")(x, train=train)
-        pools = [x]
-        for ks in self.k:
-            p = ks // 2
-            pools.append(
-                nn.max_pool(x, window_shape=(ks, ks), strides=(1, 1), padding=((p, p), (p, p)))
-            )
-        y = jnp.concatenate(pools, axis=-1)
+        # chained 5x5 pools + vectorized-backward custom VJP (exact; see
+        # ops/pooling.py — select-and-scatter was 7% of the b96 train step)
+        from super_gradients_tpu.ops.pooling import chained_max_pools
+
+        y = jnp.concatenate((x,) + chained_max_pools(x, self.k), axis=-1)
         return conv(out_channels=self.out_channels, name="cv2")(y, train=train)
 
 

@@ -61,10 +61,9 @@ class SPPBlock(nn.Module):
         hidden = x.shape[-1] // 2
         conv = partial(ConvBNAct, act=self.act)
         x = conv(out_channels=hidden, kernel=1, name="cv1")(x, train=train)
-        outs = [x]
-        for ks in self.k:
-            p = ks // 2
-            outs.append(nn.max_pool(x, (ks, ks), strides=(1, 1), padding=((p, p), (p, p))))
+        from super_gradients_tpu.ops.pooling import chained_max_pools
+
+        outs = (x,) + chained_max_pools(x, self.k)  # exact; TPU-fast backward (ops/pooling.py)
         return conv(out_channels=self.out_channels, kernel=1, name="cv2")(jnp.concatenate(outs, -1), train=train)
 
 

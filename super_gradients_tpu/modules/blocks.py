@@ -149,6 +149,49 @@ class ConvTranspose2x2(nn.Module):
         return y + bias
 
 
+class _RawConvParams(nn.Module):
+    """Holds an ``nn.Conv``-compatible kernel (+bias) param without the conv op.
+
+    Name this module like the conv it replaces and the param paths (and hence
+    checkpoint layout AND init RNG streams) are identical to ``nn.Conv``'s —
+    used by the s2d stem fast path, which consumes the kernel through a layout
+    transform instead of calling the conv directly.
+    """
+
+    shape: Tuple[int, ...]
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        b = self.param("bias", nn.initializers.zeros_init(), (self.shape[-1],)) if self.use_bias else None
+        return k, b
+
+
+def _s2d_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """Space-to-depth(2x2), channel index (p*2+q)*C+c (matches yolo_nas
+    s2d_stem_params / YoloNASBackbone.stem_s2d ordering)."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def _s2d_kernel_from_3x3(w: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable [3,3,C,O] -> [2,2,4C,O] scatter: the stride-2 pad-1 3x3
+    conv as a stride-1 2x2 conv on the s2d(2x2) tensor (the deploy-side
+    ``s2d_stem_params`` math, kept in-graph so gradients flow to the original
+    kernel layout). W2[v,u,(p*2+q)*C+c,o] = W[2v+p-1, 2u+q-1, c, o]."""
+    C, O = w.shape[2], w.shape[3]
+    w2 = jnp.zeros((2, 2, 4 * C, O), w.dtype)
+    for v in range(2):
+        for u in range(2):
+            for p in range(2):
+                for q in range(2):
+                    di, dj = 2 * v + p - 1, 2 * u + q - 1
+                    if 0 <= di <= 2 and 0 <= dj <= 2:
+                        w2 = w2.at[v, u, (p * 2 + q) * C : (p * 2 + q + 1) * C, :].set(w[di, dj])
+    return w2
+
+
 class QARepVGGBlock(nn.Module):
     """QARepVGG S4 block (reference ``modules/qarepvgg_block.py:10-330``).
 
@@ -197,30 +240,55 @@ class QARepVGGBlock(nn.Module):
                 )(y)
             out = act_fn(y)
         else:
-            y3 = nn.Conv(
-                self.out_channels,
-                (3, 3),
-                strides=(self.stride, self.stride),
-                padding=((p, p), (p, p)),
-                feature_group_count=self.groups,
-                kernel_dilation=(self.dilation, self.dilation),
-                use_bias=False,
-                name="branch_3x3_conv",
-            )(x)
+            cin = x.shape[-1]
+            # Tiny-Cin stride-2 stems (the 3-channel image stem): a 3-channel
+            # conv uses 3 of the MXU's 128 contraction lanes — profiled at
+            # ~25 ms/step fwd alone on YOLO-NAS-M b96 v5e. Compute both
+            # branches as ONE packed 2x2 conv on the s2d(2x2) input (exact:
+            # deploy's s2d_stem_params math, differentiable, same params).
+            s2d_fast = (
+                self.stride == 2 and self.groups == 1 and self.dilation == 1
+                and not self.use_residual and cin * 9 <= 64
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+            )
+            if s2d_fast:
+                w3, _ = _RawConvParams((3, 3, cin, self.out_channels), use_bias=False, name="branch_3x3_conv")()
+                w1, b1 = _RawConvParams((1, 1, cin, self.out_channels), use_bias=self.use_1x1_bias, name="branch_1x1")()
+                # 1x1 stride-2 pad-0 == 3x3 stride-2 pad-1 with only the center tap
+                w1_as_3x3 = jnp.zeros((3, 3, cin, self.out_channels), w1.dtype).at[1, 1].set(w1[0, 0])
+                packed = _s2d_kernel_from_3x3(jnp.concatenate([w3, w1_as_3x3], axis=-1))
+                xs = _s2d_2x2(x)
+                y = jax.lax.conv_general_dilated(
+                    xs, packed, (1, 1), ((1, 0), (1, 0)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+                )
+                y3, y1 = y[..., : self.out_channels], y[..., self.out_channels :]
+                if b1 is not None:
+                    y1 = y1 + b1
+            else:
+                y3 = nn.Conv(
+                    self.out_channels,
+                    (3, 3),
+                    strides=(self.stride, self.stride),
+                    padding=((p, p), (p, p)),
+                    feature_group_count=self.groups,
+                    kernel_dilation=(self.dilation, self.dilation),
+                    use_bias=False,
+                    name="branch_3x3_conv",
+                )(x)
+                y1 = nn.Conv(
+                    self.out_channels,
+                    (1, 1),
+                    strides=(self.stride, self.stride),
+                    feature_group_count=self.groups,
+                    use_bias=self.use_1x1_bias,
+                    name="branch_1x1",
+                )(x)
             y3 = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=1.0 - self.bn_momentum,
                 epsilon=self.bn_eps,
                 name="branch_3x3_bn",
             )(y3)
-            y1 = nn.Conv(
-                self.out_channels,
-                (1, 1),
-                strides=(self.stride, self.stride),
-                feature_group_count=self.groups,
-                use_bias=self.use_1x1_bias,
-                name="branch_1x1",
-            )(x)
             if self.use_alpha:
                 alpha = self.param("alpha", nn.initializers.ones, (1,))
                 y1 = alpha * y1
