@@ -241,15 +241,23 @@ class QARepVGGBlock(nn.Module):
             out = act_fn(y)
         else:
             cin = x.shape[-1]
-            # Tiny-Cin stride-2 stems (the 3-channel image stem): a 3-channel
-            # conv uses 3 of the MXU's 128 contraction lanes — profiled at
-            # ~25 ms/step fwd alone on YOLO-NAS-M b96 v5e. Compute both
-            # branches as ONE packed 2x2 conv on the s2d(2x2) input (exact:
-            # deploy's s2d_stem_params math, differentiable, same params).
+            # Tiny-Cin stride-2 stems (the 3-channel image stem): computing
+            # both branches as ONE packed 2x2 conv on the s2d(2x2) input is
+            # exact (deploy's s2d_stem_params math, differentiable, same
+            # params) and wins at inference — but in the TRAIN step it LOSES:
+            # A/B on v5e (YOLO-NAS-M b64, chained-params, 2 reps each) gave
+            # 446 ms/step packed vs 425 ms/step two-branch (~5% regression;
+            # the s2d reshuffle's backward transpose outweighs the MXU-lane
+            # win once the backward pass dominates). Default OFF for
+            # training; opt in with SG_TPU_S2D_STEM=1. Inference keeps the
+            # s2d form via the deploy-fusion path (yolo_nas.s2d_stem_params).
+            import os
+
             s2d_fast = (
                 self.stride == 2 and self.groups == 1 and self.dilation == 1
                 and not self.use_residual and cin * 9 <= 64
                 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+                and os.environ.get("SG_TPU_S2D_STEM", "0") == "1"
             )
             if s2d_fast:
                 w3, _ = _RawConvParams((3, 3, cin, self.out_channels), use_bias=False, name="branch_3x3_conv")()

@@ -13,8 +13,16 @@ in-graph and differentiable.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from super_gradients_tpu.modules.blocks import QARepVGGBlock
+
+
+@pytest.fixture(autouse=True)
+def _enable_s2d_train_stem(monkeypatch):
+    """The packed path is opt-in (A/B on v5e: it loses ~5% in the train step —
+    see modules/blocks.py); force it on here so parity stays tested."""
+    monkeypatch.setenv("SG_TPU_S2D_STEM", "1")
 
 
 def _stem_block(**kw):
