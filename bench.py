@@ -270,8 +270,10 @@ def main():
 
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         try:
-            # batch 64 = peak of the b∈{32,48,64,96} bf16 train-step sweep on v5e
-            tb, tw = int(os.environ.get("BENCH_TRAIN_BATCH", 64)), int(os.environ.get("BENCH_TRAIN_WORKERS", max(2, (os.cpu_count() or 2) - 1)))
+            # batch 96 = peak of the bf16 train-step sweep on v5e (r5, s2d stem
+            # off): b64 150.8 img/s, b80 157.7, b96 157.6 @ 58.3 TF/s, b112/b128
+            # fail to compile (VMEM/HBM); b96 amortizes host-loader cost best
+            tb, tw = int(os.environ.get("BENCH_TRAIN_BATCH", 96)), int(os.environ.get("BENCH_TRAIN_WORKERS", max(2, (os.cpu_count() or 2) - 1)))
             tsteps = int(os.environ.get("BENCH_TRAIN_STEPS", 10))
             train_mp = os.environ.get("BENCH_TRAIN_MP", "1") != "0"
             t_ips, wait_pct, t_fl, t_compute_ips = train_bench(tb, IMAGE, tsteps, tw, mixed_precision=train_mp)

@@ -112,28 +112,37 @@ def get(
         return replace_head(base, num_classes, seed=seed)
 
     builder = get_architecture(model_name)
-    spec: ModelSpec = builder(num_classes=num_classes, arch_params=arch_params or {}, **kwargs)
+    spec = builder(num_classes=num_classes, arch_params=arch_params or {}, **kwargs)
 
-    # init on CPU: param creation needs no accelerator, and compiling the init
-    # program through the TPU toolchain is pure waste (minutes on remote-compile)
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        rng = jax.random.PRNGKey(seed)
-        init_hw = spec.init_hw or spec.input_hw
-        example = jnp.zeros((1, init_hw[0], init_hw[1], 3), dtype=jnp.float32)
-        variables = jax.jit(spec.module.init, static_argnames=("train",))(rng, example, train=False)
+    if isinstance(spec, SgModel):
+        # user-registered builders (@register_model) may construct the task
+        # wrapper themselves (ref users register raw nn.Modules the same way —
+        # model_factory.py:192 instantiates whatever the registry returns);
+        # checkpoint/pretrained handling below still applies
+        model = spec
+        spec = None
+    else:
+        # zoo builders return a ModelSpec; init on CPU: param creation needs no
+        # accelerator, and compiling the init program through the TPU toolchain
+        # is pure waste (minutes on remote-compile)
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            rng = jax.random.PRNGKey(seed)
+            init_hw = spec.init_hw or spec.input_hw
+            example = jnp.zeros((1, init_hw[0], init_hw[1], 3), dtype=jnp.float32)
+            variables = jax.jit(spec.module.init, static_argnames=("train",))(rng, example, train=False)
 
-    wrapper = spec.wrapper_cls or TASK_WRAPPERS[spec.task]
-    model = wrapper(
-        name=model_name,
-        module=spec.module,
-        variables=variables,
-        num_classes=spec.num_classes,
-        config=spec.config,
-        processing=spec.processing,
-        class_names=spec.class_names,
-        input_hw=spec.input_hw,
-    )
+        wrapper = spec.wrapper_cls or TASK_WRAPPERS[spec.task]
+        model = wrapper(
+            name=model_name,
+            module=spec.module,
+            variables=variables,
+            num_classes=spec.num_classes,
+            config=spec.config,
+            processing=spec.processing,
+            class_names=spec.class_names,
+            input_hw=spec.input_hw,
+        )
 
     if pretrained_weights is not None:
         # attach the processing params the published checkpoint was evaluated with
@@ -155,7 +164,7 @@ def get(
         if checkpoint_path.endswith((".pth", ".pt")):
             from super_gradients_tpu.conversion.torch_converter import load_torch_weights
 
-            rules = spec.torch_key_mapper() if spec.torch_key_mapper else ()
+            rules = spec.torch_key_mapper() if spec is not None and spec.torch_key_mapper else ()
             load_torch_weights(
                 model, checkpoint_path, rules=rules,
                 strict=(strict_load if strict_load is not None else not load_backbone),

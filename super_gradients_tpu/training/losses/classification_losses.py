@@ -16,8 +16,10 @@ from super_gradients_tpu.common.registry import register_loss
 
 @register_loss("CrossEntropyLoss")
 class CrossEntropyLoss:
-    def __init__(self, label_smoothing: float = 0.0):
-        self.label_smoothing = label_smoothing
+    def __init__(self, label_smoothing: float = 0.0, smooth_eps: float = None):
+        # the reference spells label smoothing `smooth_eps`
+        # (label_smoothing_cross_entropy_loss.py:90); accept both
+        self.label_smoothing = label_smoothing if smooth_eps is None else smooth_eps
 
     def __call__(self, outputs: jnp.ndarray, targets: jnp.ndarray) -> Tuple[jnp.ndarray, Dict]:
         num_classes = outputs.shape[-1]
