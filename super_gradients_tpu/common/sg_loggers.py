@@ -258,12 +258,16 @@ class DagsHubSGLogger(BaseSGLogger):
 
             if dagshub_repository:
                 owner, repo = self._split_repo(dagshub_repository)
-                try:  # dagshub.init wires credentials + tracking URI when available
+                try:  # dagshub.init wires credentials when available
                     import dagshub
 
                     dagshub.init(repo_name=repo, repo_owner=owner)
                 except Exception:
-                    mlflow.set_tracking_uri(f"https://dagshub.com/{owner}/{repo}.mlflow")
+                    pass
+                # the reference sets the tracking remote explicitly even after
+                # dagshub.init (ref dagshub_sg_logger.py:155); do the same so a
+                # no-op init never leaves mlflow pointed at the default store
+                mlflow.set_tracking_uri(f"https://dagshub.com/{owner}/{repo}.mlflow")
             mlflow.start_run(run_name=kwargs.get("experiment_name"))
             self._mlflow = mlflow
         except Exception as e:
