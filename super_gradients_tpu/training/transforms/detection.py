@@ -384,8 +384,25 @@ class ComposeDetectionTransforms:
     def additional_samples_count(self) -> int:
         return max([t.additional_samples_count for t in self.transforms] + [0])
 
-    def __call__(self, sample: DetectionSample, additional: Sequence[DetectionSample] = ()) -> DetectionSample:
-        for t in self.transforms:
+    @property
+    def trailing_standardize(self) -> Optional["DetectionStandardize"]:
+        """The chain's final DetectionStandardize, if any — the Trainer hoists it
+        into the jitted step (uint8 host batches, on-device x*1/max_value) so the
+        host pipeline skips a full f32 image pass and H2D ships 1 byte/px."""
+        if self.transforms and isinstance(self.transforms[-1], DetectionStandardize):
+            return self.transforms[-1]
+        return None
+
+    def __call__(
+        self,
+        sample: DetectionSample,
+        additional: Sequence[DetectionSample] = (),
+        skip_trailing_standardize: bool = False,
+    ) -> DetectionSample:
+        transforms = self.transforms
+        if skip_trailing_standardize and self.trailing_standardize is not None:
+            transforms = transforms[:-1]
+        for t in transforms:
             n = t.additional_samples_count
             t_additional = additional[:n] if n else ()
             sample = t(sample, t_additional)
